@@ -1,0 +1,121 @@
+"""Command-line interface: `svtrek-tpu {audt,disc}`.
+
+Mirrors the reference's CLI surface exactly (svtrek.c:5-19, init.c:3-33):
+same subcommands, same option names (short and long), same defaults; the
+TPU-native extensions are added as clearly-separated extra flags.
+Unlike the reference, --output and --verbose actually work (the reference
+parses both and uses neither; SURVEY.md §5).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import constants as C
+from .config import AudtConfig, DiscConfig
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("-o", "--output", default="svtrek.out",
+                   help="Output filename [Default: svtrek.out]")
+    p.add_argument("-t", dest="threads", type=int, default=C.THREAD_NUMBER,
+                   help=f"Thread number [Default: {C.THREAD_NUMBER}]")
+    p.add_argument("--verbose", action="store_true", default=False)
+    p.add_argument("--consensus-interval-range", type=int,
+                   default=C.CONSENSUS_INTERVAL_RANGE)
+    p.add_argument("--consensus-interval", type=int,
+                   default=C.CONSENSUS_INTERVAL)
+    p.add_argument("--consensus-min-count", type=int,
+                   default=C.CONSENSUS_MIN_COUNT)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="svtrek-tpu",
+        description="TPU-native SV audit (audt) and discovery (disc).",
+    )
+    sub = ap.add_subparsers(dest="mode")
+
+    audt = sub.add_parser("audt", help="Audit reported variations on VCF using BAM.")
+    audt.add_argument("-b", "--bam", required=True)
+    audt.add_argument("-v", "--vcf", required=True)
+    _add_common(audt)
+    audt.add_argument("--wider-interval", type=int, default=C.WIDER_INTERVAL)
+    audt.add_argument("--median-interval", type=int, default=C.MEDIAN_INTERVAL)
+    audt.add_argument("--narrow-interval", type=int, default=C.NARROW_INTERVAL)
+    audt.add_argument("--batch-windows", type=int, default=256,
+                      help="[TPU] windows per device batch")
+    audt.add_argument("--max-candidates", type=int, default=1024,
+                      help="[TPU] consensus candidate capacity per window")
+    audt.add_argument("--no-native-io", action="store_true",
+                      help="[TPU] disable the C BAM reader fast path")
+
+    disc = sub.add_parser("disc", help="Variation discovery on graph alignment result.")
+    disc.add_argument("-r", "--gfa", required=True)
+    disc.add_argument("-a", "--gaf", required=True)
+    disc.add_argument("-q", "--fq", required=True)
+    _add_common(disc)
+    disc.add_argument("--sv-min-length", type=int, default=C.SV_MIN_LENGTH,
+                      help="[TPU] minimum SV length for discovery")
+    return ap
+
+
+def validate_file(filename: str, message: str):
+    """Reference: init.c:35-47 (but exits cleanly instead of crashing on
+    fclose(NULL) as the C would)."""
+    import os
+
+    if not filename:
+        print(message, file=sys.stderr)
+        raise SystemExit(1)
+    if not os.path.exists(filename):
+        print(f"[ERROR]: File couldn't be opened {filename}", file=sys.stderr)
+        raise SystemExit(1)
+
+
+def main(argv=None) -> int:
+    ap = build_parser()
+    args = ap.parse_args(argv)
+    if args.mode == "audt":
+        cfg = AudtConfig(
+            bam_file=args.bam, vcf_file=args.vcf, output_file=args.output,
+            thread_number=args.threads, verbose=args.verbose,
+            wider_interval=args.wider_interval,
+            median_interval=args.median_interval,
+            narrow_interval=args.narrow_interval,
+            consensus_interval_range=args.consensus_interval_range,
+            consensus_interval=args.consensus_interval,
+            consensus_min_count=args.consensus_min_count,
+            batch_windows=args.batch_windows,
+            max_candidates=args.max_candidates,
+            use_native_io=not args.no_native_io,
+        )
+        validate_file(cfg.bam_file, "[ERROR] BAM file is not provided.")
+        validate_file(cfg.vcf_file, "[ERROR] VCF file is not provided.")
+        from .pipeline.audit import run_audit
+
+        run_audit(cfg)
+        return 0
+    if args.mode == "disc":
+        cfg = DiscConfig(
+            gfa_file=args.gfa, gaf_file=args.gaf, fq_file=args.fq,
+            output_file=args.output, thread_number=args.threads,
+            verbose=args.verbose,
+            consensus_interval_range=args.consensus_interval_range,
+            consensus_interval=args.consensus_interval,
+            consensus_min_count=args.consensus_min_count,
+            sv_min_length=args.sv_min_length,
+        )
+        validate_file(cfg.gfa_file, "[ERROR] r/GFA file is not provided.")
+        validate_file(cfg.gaf_file, "[ERROR] GAF file is not provided.")
+        validate_file(cfg.fq_file, "[ERROR] FASTQ file is not provided.")
+        from .pipeline.discover import run_discover
+
+        run_discover(cfg)
+        return 0
+    ap.print_help()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,55 @@
+"""Configuration dataclasses mirroring the reference's flag surface.
+
+The reference fills `audt_args` / `disc_args` structs via getopt_long
+(reference: init.c:49-147, init.c:149-241; defaults params.h:27-41).  The
+new framework exposes the same option names and defaults through dataclasses
+used by the CLI (cli.py) and the pipelines.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from . import constants as C
+
+
+@dataclasses.dataclass
+class AudtConfig:
+    """`audt` mode configuration (reference: params.h:49-65)."""
+
+    bam_file: str = ""
+    vcf_file: str = ""
+    output_file: str = "svtrek.out"
+    thread_number: int = C.THREAD_NUMBER
+    verbose: bool = False
+    tload_factor: int = C.THREAD_POOL_LOAD_FACTOR
+    wider_interval: int = C.WIDER_INTERVAL
+    median_interval: int = C.MEDIAN_INTERVAL
+    narrow_interval: int = C.NARROW_INTERVAL
+    consensus_interval_range: int = C.CONSENSUS_INTERVAL_RANGE
+    consensus_interval: int = C.CONSENSUS_INTERVAL
+    consensus_min_count: int = C.CONSENSUS_MIN_COUNT
+    # TPU-native additions (no reference analog):
+    batch_windows: int = 256        # windows per device batch
+    max_candidates: int = 1024      # consensus candidate cap per window
+    max_read_candidates: int = 64   # per-read candidate compaction width
+    use_native_io: bool = True      # prefer the C BAM reader when built
+    device: str = ""                # "" = default JAX backend
+
+
+@dataclasses.dataclass
+class DiscConfig:
+    """`disc` mode configuration (reference: params.h:97-111)."""
+
+    gfa_file: str = ""
+    gaf_file: str = ""
+    fq_file: str = ""
+    output_file: str = "svtrek.out"
+    thread_number: int = C.THREAD_NUMBER
+    verbose: bool = False
+    tload_factor: int = C.THREAD_POOL_LOAD_FACTOR
+    consensus_interval_range: int = C.CONSENSUS_INTERVAL_RANGE
+    consensus_interval: int = C.CONSENSUS_INTERVAL
+    consensus_min_count: int = C.CONSENSUS_MIN_COUNT
+    # TPU-native additions:
+    sv_min_length: int = C.SV_MIN_LENGTH
+    batch_reads: int = 512

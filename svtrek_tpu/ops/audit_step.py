@@ -1,0 +1,96 @@
+"""The fused audit refinement step: evidence → grouping → consensus.
+
+One jitted XLA program per shape bucket: packed reads in, refined
+breakpoints out.  This is the TPU-native equivalent of the reference's
+whole per-record hot path (audit.c:50-236 + refinement.c), batched over
+many refine tasks ("windows") at once instead of one VCF record per
+thread.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from .cigar import extract_read_candidates, group_candidates_by_window
+from .consensus import consensus_pos_batch
+
+
+@dataclasses.dataclass
+class AuditBatch:
+    """Host-packed, fixed-shape batch of refine tasks.
+
+    reads axis N: ops/lens [N, O], pos/n_ops/window_id [N]
+    window axis B: kind/inter_start/inter_end/imprecise_pos [B]
+    Padding reads have n_ops == 0 and window_id == B.
+    """
+
+    ops: np.ndarray
+    lens: np.ndarray
+    pos: np.ndarray
+    n_ops: np.ndarray
+    window_id: np.ndarray
+    kind: np.ndarray
+    inter_start: np.ndarray
+    inter_end: np.ndarray
+    imprecise_pos: np.ndarray
+
+    @property
+    def num_reads(self) -> int:
+        return int(self.ops.shape[0])
+
+    @property
+    def num_windows(self) -> int:
+        return int(self.kind.shape[0])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_windows", "K", "min_count", "interval", "range_"),
+)
+def audit_refine_step(
+    ops: jnp.ndarray,
+    lens: jnp.ndarray,
+    pos: jnp.ndarray,
+    n_ops: jnp.ndarray,
+    window_id: jnp.ndarray,
+    kind: jnp.ndarray,
+    inter_start: jnp.ndarray,
+    inter_end: jnp.ndarray,
+    imprecise_pos: jnp.ndarray,
+    *,
+    num_windows: int,
+    K: int,
+    min_count: int = C.CONSENSUS_MIN_COUNT,
+    interval: int = C.CONSENSUS_INTERVAL,
+    range_: int = C.CONSENSUS_INTERVAL_RANGE,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Refine a packed batch of tasks.
+
+    Returns (refined [B] int32 with -1 = NA, counts [B] int32 candidate
+    counts; counts > K means the window overflowed the candidate capacity
+    and must be recomputed by the host oracle).
+    """
+    # Per-read window attributes (gather once; windows beyond B are padding).
+    wid_c = jnp.clip(window_id, 0, num_windows - 1)
+    kind_r = jnp.take(kind, wid_c)
+    istart_r = jnp.take(inter_start, wid_c)
+    iend_r = jnp.take(inter_end, wid_c)
+
+    cand, _ = extract_read_candidates(
+        ops, lens, pos, n_ops, kind_r, istart_r, iend_r
+    )
+    locs, counts = group_candidates_by_window(cand, window_id, num_windows, K)
+    refined = consensus_pos_batch(
+        locs,
+        jnp.minimum(counts, K),
+        imprecise_pos,
+        min_count=min_count,
+        interval=interval,
+        range_=range_,
+    )
+    return refined, counts

@@ -1,0 +1,120 @@
+"""Device-mesh sharding for the audit pipeline.
+
+The reference's only parallelism is single-node record parallelism over
+pthreads (audit.c:269-293; SURVEY.md §2 'parallelism inventory').  The
+TPU-native equivalent shards the *window batch* across a `jax.sharding`
+mesh: each device owns a contiguous block of refine windows and all the
+reads packed for those windows — shared-nothing, exactly like the
+reference's per-thread BAM handles, so the only collective is the final
+result gather (which jit inserts automatically from the output sharding).
+
+Windows are independent, so scaling is embarrassingly parallel by
+construction; ≥80% linear scaling (BASELINE.md) reduces to balanced
+packing, which the host packer guarantees by equalizing reads/shard.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import constants as C
+from ..ops.cigar import extract_read_candidates, group_candidates_by_window
+from ..ops.consensus import consensus_pos_batch
+
+
+def make_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def _local_audit_step(ops, lens, pos, n_ops, window_id, kind,
+                      inter_start, inter_end, imprecise_pos,
+                      *, num_windows_local, K, min_count, interval, range_):
+    """Per-shard audit step (window ids are shard-local)."""
+    wid_c = jnp.clip(window_id, 0, num_windows_local - 1)
+    kind_r = jnp.take(kind, wid_c)
+    istart_r = jnp.take(inter_start, wid_c)
+    iend_r = jnp.take(inter_end, wid_c)
+    cand, _ = extract_read_candidates(ops, lens, pos, n_ops, kind_r,
+                                      istart_r, iend_r)
+    locs, counts = group_candidates_by_window(
+        cand, window_id, num_windows_local, K
+    )
+    refined = consensus_pos_batch(
+        locs, jnp.minimum(counts, K), imprecise_pos,
+        min_count=min_count, interval=interval, range_=range_,
+    )
+    return refined, counts
+
+
+def sharded_audit_step(mesh: Mesh, *, num_windows: int, K: int,
+                       min_count: int = C.CONSENSUS_MIN_COUNT,
+                       interval: int = C.CONSENSUS_INTERVAL,
+                       range_: int = C.CONSENSUS_INTERVAL_RANGE):
+    """Build the jitted multi-chip audit step for `mesh`.
+
+    Expects batch arrays laid out shard-blockwise: reads axis N and window
+    axis B both divisible by the mesh size, window_id *local to its
+    shard's block* (padding reads use the local sentinel B//n).
+    Returns fn(ops, lens, pos, n_ops, window_id, kind, istart, iend, ipos)
+    -> (refined [B], counts [B]).
+    """
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+    if num_windows % n:
+        raise ValueError(f"num_windows {num_windows} not divisible by mesh size {n}")
+    b_loc = num_windows // n
+
+    local = functools.partial(
+        _local_audit_step,
+        num_windows_local=b_loc, K=K,
+        min_count=min_count, interval=interval, range_=range_,
+    )
+    spec = P(axis)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec,) * 9,
+        out_specs=(spec, spec),
+    )
+    return jax.jit(fn)
+
+
+def make_sharded_demo_batch(num_devices: int, b_per_shard: int = 2,
+                            reads_per_window: int = 4, O: int = 16,
+                            seed: int = 0):
+    """Synthetic shard-blockwise batch for dry runs and scaling tests."""
+    rng = np.random.default_rng(seed)
+    B = num_devices * b_per_shard
+    N = B * reads_per_window
+    ops = np.full((N, O), 9, np.int8)
+    lens = np.zeros((N, O), np.int32)
+    pos = np.zeros(N, np.int32)
+    n_ops = np.zeros(N, np.int32)
+    wid = np.zeros(N, np.int32)
+    kind = np.zeros(B, np.int32)
+    istart = np.zeros(B, np.int32)
+    iend = np.zeros(B, np.int32)
+    ipos = np.zeros(B, np.int32)
+    r = 0
+    for b in range(B):
+        base = int(rng.integers(50_000, 90_000))
+        kind[b] = C.KIND_DEL_START
+        istart[b] = base - 2000
+        iend[b] = base + 2000
+        ipos[b] = base
+        for _ in range(reads_per_window):
+            start = base - int(rng.integers(200, 1200))
+            cig = [(0, base - start + int(rng.integers(-2, 3))),
+                   (2, 60), (0, 500)]
+            ops[r, : len(cig)] = [o for o, _ in cig]
+            lens[r, : len(cig)] = [l for _, l in cig]
+            pos[r] = start
+            n_ops[r] = len(cig)
+            wid[r] = b % b_per_shard          # shard-local window id
+            r += 1
+    return ops, lens, pos, n_ops, wid, kind, istart, iend, ipos

@@ -1,0 +1,98 @@
+"""End-to-end audt pipeline test: fixture BAM+VCF → result lines,
+verified against the scalar oracle driving the same fetch semantics."""
+import io
+
+import pytest
+
+from fixtures import PlantedSV, write_fixture
+from svtrek_tpu import constants as C
+from svtrek_tpu.config import AudtConfig
+from svtrek_tpu.emit import format_result
+from svtrek_tpu.io.bam import BamReader
+from svtrek_tpu.io.vcf import VcfSkip, iter_vcf_tasks
+from svtrek_tpu.oracle import refine_task
+from svtrek_tpu.pipeline.audit import run_audit
+from svtrek_tpu.pipeline.pack import query_region, windows_for_task
+
+
+def oracle_lines(vcf_path, bam_path, cfg):
+    """Reference-semantics expected output, computed entirely via the
+    scalar oracle."""
+    reader = BamReader(bam_path)
+
+    def fetch(tid, beg, end):
+        return [(r.pos, r.cigar) for r in reader.fetch(tid, int(beg), int(end))]
+
+    lines = []
+    with open(vcf_path) as fh:
+        for item in iter_vcf_tasks(fh):
+            if isinstance(item, VcfSkip):
+                continue
+            wins, emit = windows_for_task(item, cfg)
+            if not emit:
+                continue
+            rs, re_ = 0xFFFFFFFF, 0xFFFFFFFF
+            for w in wins:
+                reads = [] if w.kind == C.KIND_POINT else query_region(fetch, w)
+                r = refine_task(
+                    w.kind, reads, w.inter_start, w.inter_end, w.imprecise_pos,
+                    cfg.consensus_min_count, cfg.consensus_interval,
+                    cfg.consensus_interval_range,
+                )
+                if w.slot == 0:
+                    rs = C.u32(r)
+                else:
+                    re_ = C.u32(r)
+            lines.append(
+                format_result(item.sv_type, item.chrom_index, item.pos,
+                              item.end, rs, re_)
+            )
+    return lines
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_audit_end_to_end(tmp_path, seed):
+    svs = [
+        PlantedSV(1, 50_000, 50_400, "DEL", 400),
+        PlantedSV(1, 120_000, 120_001, "INS", 120),
+        PlantedSV(1, 200_000, 203_000, "INV", 3000),
+        PlantedSV(2, 80_000, 80_070, "DEL", 70),
+        PlantedSV(2, 160_000, 160_001, "INS", 65),
+        # DEL of exactly 50: parsed, but silently dropped at the inner
+        # `50 < end-pos` check → no output line.
+        PlantedSV(1, 300_000, 300_050, "DEL", 50),
+        # Sparse support (depth below min count) → NA.
+    ]
+    bam, vcf = write_fixture(
+        str(tmp_path), svs, {1: 500_000, 2: 400_000}, seed=seed
+    )
+    cfg = AudtConfig(bam_file=bam, vcf_file=vcf, output_file=str(tmp_path / "o.txt"),
+                     use_native_io=False, batch_windows=8)
+
+    out = io.StringIO()
+    err = io.StringIO()
+    got = run_audit(cfg, out=out, err=err)
+    want = oracle_lines(vcf, bam, cfg)
+    assert got == want
+    # 5 emitting records (the len-50 DEL is silent).
+    assert len(got) == 5
+    # The planted DEL must actually be refined (not NA): sanity that the
+    # pipeline finds the planted signal.
+    assert "ref pos: NA" not in got[0]
+    text = out.getvalue()
+    assert text.startswith("[INFO] Started processing variation file.\n")
+    assert text.rstrip().endswith("[INFO] Ended processing variation file")
+
+
+def test_audit_refines_planted_del_exactly(tmp_path):
+    """With zero jitter, the refined DEL start must equal the true
+    breakpoint (0-based start of the D op) and end the true end+2
+    (reference's rp+len+1 rule on 0-based coords)."""
+    sv = PlantedSV(1, 100_000, 100_500, "DEL", 500)
+    bam, vcf = write_fixture(str(tmp_path), [sv], {1: 300_000}, seed=3,
+                             depth=15, noise=0)
+    cfg = AudtConfig(bam_file=bam, vcf_file=vcf, use_native_io=False)
+    got = run_audit(cfg, out=io.StringIO(), err=io.StringIO())
+    want = oracle_lines(vcf, bam, cfg)
+    assert got == want
+    assert len(got) == 1 and got[0].startswith("(DEL)")
