@@ -13,10 +13,9 @@ Architecture (TPU-first, not a port):
 - parallel/ jax.sharding mesh + multi-chip step
 - native/   C fast paths (BGZF/BAM region fetch) via ctypes
 """
-import jax
-
-# Consensus totals are 64-bit (the reference accumulates into uint64,
-# refinement.c:59); enable x64 before any kernel is traced.
-jax.config.update("jax_enable_x64", True)
+# NOTE: all kernels are int32-only by design — the reference's uint64
+# cluster totals (refinement.c:59) are reproduced exactly with a
+# wrap-safe int32 delta-sum formulation (ops/consensus.py), so the slow
+# emulated-int64 TPU path is never needed and jax_enable_x64 stays off.
 
 __version__ = "0.1.0"

@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                       help="[TPU] consensus candidate capacity per window")
     audt.add_argument("--no-native-io", action="store_true",
                       help="[TPU] disable the C BAM reader fast path")
+    audt.add_argument("--refined-vcf", default="",
+                      help="[TPU] write a refined VCF (SVELDT=SUCCESS/"
+                           "PARTIAL/INCORRECT) to this path")
 
     disc = sub.add_parser("disc", help="Variation discovery on graph alignment result.")
     disc.add_argument("-r", "--gfa", required=True)
@@ -89,6 +92,7 @@ def main(argv=None) -> int:
             batch_windows=args.batch_windows,
             max_candidates=args.max_candidates,
             use_native_io=not args.no_native_io,
+            refined_vcf=args.refined_vcf,
         )
         validate_file(cfg.bam_file, "[ERROR] BAM file is not provided.")
         validate_file(cfg.vcf_file, "[ERROR] VCF file is not provided.")

@@ -34,6 +34,7 @@ class AudtConfig:
     max_read_candidates: int = 64   # per-read candidate compaction width
     use_native_io: bool = True      # prefer the C BAM reader when built
     device: str = ""                # "" = default JAX backend
+    refined_vcf: str = ""           # write a refined VCF here (SVELDT status)
 
 
 @dataclasses.dataclass

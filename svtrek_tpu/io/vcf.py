@@ -39,6 +39,7 @@ class VcfTask:
     pos: int                 # uint32
     end: int                 # uint32 (possibly wrapped; quirk)
     sv_type: SVType
+    raw: str = ""            # original data line (for refined-VCF output)
 
 
 @dataclass
@@ -149,7 +150,7 @@ def parse_vcf_line(line_index: int, line: str) -> VcfTask | VcfSkip:
             return VcfSkip(line_index, None)
 
     if sv_type in (SVType.INS, SVType.DEL, SVType.INV):
-        return VcfTask(line_index, chrom_index, pos, end, sv_type)
+        return VcfTask(line_index, chrom_index, pos, end, sv_type, raw=line)
     # DUP/TRA/BND/UNKNOWN → "[ERROR] Unkown type." (typo preserved,
     # audit.c:234).
     return VcfSkip(line_index, "[ERROR] Unkown type.")

@@ -1,0 +1,503 @@
+/* svtrek_native — C fast paths for the svtrek_tpu framework.
+ *
+ * Provides (1) an indexed BAM region reader (BGZF + BAI + record parse)
+ * that fills packed arrays ready for the device packer, replacing the
+ * role htslib plays for the reference (SURVEY.md 2.13), and (2) a scalar
+ * refinement baseline with the reference's exact semantics
+ * (refinement.c:41-325) used as the CPU performance baseline in bench.py.
+ *
+ * Fresh implementation from the SAM/BAM/BAI format specs; exposed to
+ * Python via ctypes (no pybind11 in this environment).
+ *
+ * Build: python -m svtrek_tpu.native.build
+ */
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <zlib.h>
+
+/* ------------------------------------------------------------------ */
+/* dynamic buffers                                                      */
+
+typedef struct {
+    void *data;
+    size_t len;    /* elements used */
+    size_t cap;    /* elements allocated */
+    size_t esz;    /* element size */
+} vec_t;
+
+static void vec_init(vec_t *v, size_t esz) {
+    v->data = NULL; v->len = 0; v->cap = 0; v->esz = esz;
+}
+static void vec_free(vec_t *v) { free(v->data); vec_init(v, v->esz); }
+static void *vec_push(vec_t *v, size_t n) {
+    if (v->len + n > v->cap) {
+        size_t nc = v->cap ? v->cap : 1024;
+        while (nc < v->len + n) nc *= 2;
+        v->data = realloc(v->data, nc * v->esz);
+        if (!v->data) { fprintf(stderr, "svtrek_native: OOM\n"); abort(); }
+        v->cap = nc;
+    }
+    void *p = (char *)v->data + v->len * v->esz;
+    v->len += n;
+    return p;
+}
+
+/* ------------------------------------------------------------------ */
+/* BGZF                                                                 */
+
+typedef struct {
+    FILE *fp;
+    int64_t coffset;       /* compressed offset of loaded block */
+    int64_t next_coffset;
+    uint8_t ubuf[65536];
+    int ulen;
+    int upos;
+} bgzf_t;
+
+static int bgzf_load_block(bgzf_t *z, int64_t coffset) {
+    uint8_t hdr[12];
+    if (fseeko(z->fp, coffset, SEEK_SET) != 0) return -1;
+    size_t got = fread(hdr, 1, 12, z->fp);
+    if (got == 0) { z->ulen = 0; z->upos = 0; z->coffset = coffset; return 1; } /* EOF */
+    if (got < 12 || hdr[0] != 0x1f || hdr[1] != 0x8b) return -1;
+    int xlen = hdr[10] | (hdr[11] << 8);
+    uint8_t extra[4096];
+    if (xlen > (int)sizeof(extra)) return -1;
+    if (fread(extra, 1, xlen, z->fp) != (size_t)xlen) return -1;
+    int bsize = -1;
+    for (int i = 0; i + 4 <= xlen;) {
+        int si1 = extra[i], si2 = extra[i + 1];
+        int slen = extra[i + 2] | (extra[i + 3] << 8);
+        if (si1 == 'B' && si2 == 'C' && slen == 2)
+            bsize = (extra[i + 4] | (extra[i + 5] << 8)) + 1;
+        i += 4 + slen;
+    }
+    if (bsize < 0) return -1;
+    int csize = bsize - 12 - xlen - 8;
+    uint8_t *cbuf = malloc(csize);
+    if (fread(cbuf, 1, csize, z->fp) != (size_t)csize) { free(cbuf); return -1; }
+    uint8_t tail[8];
+    if (fread(tail, 1, 8, z->fp) != 8) { free(cbuf); return -1; }
+
+    z_stream s;
+    memset(&s, 0, sizeof(s));
+    s.next_in = cbuf; s.avail_in = csize;
+    s.next_out = z->ubuf; s.avail_out = sizeof(z->ubuf);
+    if (inflateInit2(&s, -15) != Z_OK) { free(cbuf); return -1; }
+    int r = inflate(&s, Z_FINISH);
+    inflateEnd(&s);
+    free(cbuf);
+    if (r != Z_STREAM_END) return -1;
+    z->ulen = (int)s.total_out;
+    z->upos = 0;
+    z->coffset = coffset;
+    z->next_coffset = coffset + bsize;
+    return 0;
+}
+
+static int bgzf_seek(bgzf_t *z, int64_t voffset) {
+    int64_t co = voffset >> 16;
+    int uo = (int)(voffset & 0xffff);
+    if (co != z->coffset || z->ulen == 0) {
+        int r = bgzf_load_block(z, co);
+        if (r != 0) return r;
+    }
+    z->upos = uo;
+    return 0;
+}
+
+static int64_t bgzf_tell(bgzf_t *z) {
+    return (z->coffset << 16) | (int64_t)z->upos;
+}
+
+static int bgzf_read(bgzf_t *z, void *out, int n) {
+    uint8_t *dst = out;
+    int done = 0;
+    while (done < n) {
+        int avail = z->ulen - z->upos;
+        if (avail <= 0) {
+            int r = bgzf_load_block(z, z->next_coffset);
+            if (r != 0 || z->ulen == 0) return done;
+            continue;
+        }
+        int take = n - done < avail ? n - done : avail;
+        memcpy(dst + done, z->ubuf + z->upos, take);
+        z->upos += take;
+        done += take;
+    }
+    return done;
+}
+
+/* ------------------------------------------------------------------ */
+/* BAI                                                                  */
+
+typedef struct { uint64_t beg, end; } chunk_t;
+typedef struct { uint32_t bin; int32_t n; chunk_t *chunks; } bin_t;
+typedef struct {
+    int32_t n_bin;
+    bin_t *bins;
+    int32_t n_intv;
+    uint64_t *ioffset;
+} ref_idx_t;
+
+typedef struct {
+    int32_t n_ref;
+    ref_idx_t *refs;
+} bai_t;
+
+static int bai_load(bai_t *idx, const char *path) {
+    FILE *fp = fopen(path, "rb");
+    if (!fp) return -1;
+    char magic[4];
+    if (fread(magic, 1, 4, fp) != 4 || memcmp(magic, "BAI\1", 4)) { fclose(fp); return -1; }
+    if (fread(&idx->n_ref, 4, 1, fp) != 1) { fclose(fp); return -1; }
+    idx->refs = calloc(idx->n_ref, sizeof(ref_idx_t));
+    for (int r = 0; r < idx->n_ref; r++) {
+        ref_idx_t *ri = &idx->refs[r];
+        if (fread(&ri->n_bin, 4, 1, fp) != 1) goto fail;
+        ri->bins = calloc(ri->n_bin, sizeof(bin_t));
+        for (int b = 0; b < ri->n_bin; b++) {
+            bin_t *bn = &ri->bins[b];
+            if (fread(&bn->bin, 4, 1, fp) != 1) goto fail;
+            if (fread(&bn->n, 4, 1, fp) != 1) goto fail;
+            bn->chunks = malloc(sizeof(chunk_t) * bn->n);
+            if (fread(bn->chunks, sizeof(chunk_t), bn->n, fp) != (size_t)bn->n) goto fail;
+        }
+        if (fread(&ri->n_intv, 4, 1, fp) != 1) goto fail;
+        ri->ioffset = malloc(8 * (size_t)ri->n_intv);
+        if (ri->n_intv && fread(ri->ioffset, 8, ri->n_intv, fp) != (size_t)ri->n_intv) goto fail;
+    }
+    fclose(fp);
+    return 0;
+fail:
+    fclose(fp);
+    return -1;
+}
+
+static void bai_free(bai_t *idx) {
+    for (int r = 0; r < idx->n_ref; r++) {
+        for (int b = 0; b < idx->refs[r].n_bin; b++) free(idx->refs[r].bins[b].chunks);
+        free(idx->refs[r].bins);
+        free(idx->refs[r].ioffset);
+    }
+    free(idx->refs);
+}
+
+/* bins overlapping [beg, end), appended to out (caller-sized >= 37450) */
+static int overlap_bins(int64_t beg, int64_t end, uint32_t *out) {
+    int n = 0;
+    out[n++] = 0;
+    if (beg >= end) return n;
+    end--;
+    static const struct { int shift; uint32_t off; } L[] = {
+        {26, 1}, {23, 9}, {20, 73}, {17, 585}, {14, 4681},
+    };
+    for (int l = 0; l < 5; l++) {
+        uint32_t lo = L[l].off + (uint32_t)(beg >> L[l].shift);
+        uint32_t hi = L[l].off + (uint32_t)(end >> L[l].shift);
+        for (uint32_t k = lo; k <= hi; k++) out[n++] = k;
+    }
+    return n;
+}
+
+static int chunk_cmp(const void *a, const void *b) {
+    const chunk_t *x = a, *y = b;
+    if (x->beg != y->beg) return x->beg < y->beg ? -1 : 1;
+    return x->end < y->end ? -1 : (x->end > y->end ? 1 : 0);
+}
+
+/* ------------------------------------------------------------------ */
+/* BAM reader handle                                                    */
+
+typedef struct {
+    bgzf_t z;
+    bai_t idx;
+    int has_idx;
+    int32_t n_ref;
+    int64_t data_voffset;
+    /* fetch output buffers (packed read layout) */
+    vec_t pos;      /* int64 per read */
+    vec_t nops;     /* int32 per read */
+    vec_t opoff;    /* int64 per read: start offset into ops/lens */
+    vec_t ops;      /* uint8 flattened */
+    vec_t lens;     /* int32 flattened */
+    uint8_t *rec;   /* record scratch */
+    size_t rec_cap;
+} svbam_t;
+
+static int32_t rd_i32(const uint8_t *p) { int32_t v; memcpy(&v, p, 4); return v; }
+static uint32_t rd_u32(const uint8_t *p) { uint32_t v; memcpy(&v, p, 4); return v; }
+
+void *svbam_open(const char *path) {
+    svbam_t *b = calloc(1, sizeof(svbam_t));
+    b->z.fp = fopen(path, "rb");
+    if (!b->z.fp) { free(b); return NULL; }
+    b->z.coffset = -1;
+    if (bgzf_load_block(&b->z, 0) != 0) { fclose(b->z.fp); free(b); return NULL; }
+    uint8_t magic[4];
+    if (bgzf_read(&b->z, magic, 4) != 4 || memcmp(magic, "BAM\1", 4)) goto fail;
+    int32_t l_text;
+    if (bgzf_read(&b->z, &l_text, 4) != 4) goto fail;
+    /* skip header text */
+    {
+        char skip[4096];
+        int left = l_text;
+        while (left > 0) {
+            int take = left < (int)sizeof(skip) ? left : (int)sizeof(skip);
+            if (bgzf_read(&b->z, skip, take) != take) goto fail;
+            left -= take;
+        }
+    }
+    if (bgzf_read(&b->z, &b->n_ref, 4) != 4) goto fail;
+    for (int i = 0; i < b->n_ref; i++) {
+        int32_t l_name, l_ref;
+        char name[1024];
+        if (bgzf_read(&b->z, &l_name, 4) != 4) goto fail;
+        if (l_name > (int)sizeof(name)) goto fail;
+        if (bgzf_read(&b->z, name, l_name) != l_name) goto fail;
+        if (bgzf_read(&b->z, &l_ref, 4) != 4) goto fail;
+    }
+    b->data_voffset = bgzf_tell(&b->z);
+
+    char ipath[4096];
+    snprintf(ipath, sizeof(ipath), "%s.bai", path);
+    b->has_idx = bai_load(&b->idx, ipath) == 0;
+
+    vec_init(&b->pos, 8); vec_init(&b->nops, 4); vec_init(&b->opoff, 8);
+    vec_init(&b->ops, 1); vec_init(&b->lens, 4);
+    return b;
+fail:
+    fclose(b->z.fp);
+    free(b);
+    return NULL;
+}
+
+void svbam_close(void *h) {
+    svbam_t *b = h;
+    if (!b) return;
+    fclose(b->z.fp);
+    if (b->has_idx) bai_free(&b->idx);
+    vec_free(&b->pos); vec_free(&b->nops); vec_free(&b->opoff);
+    vec_free(&b->ops); vec_free(&b->lens);
+    free(b->rec);
+    free(b);
+}
+
+int32_t svbam_nref(void *h) { return ((svbam_t *)h)->n_ref; }
+
+/* Fetch one region; returns #reads (or -1). Buffers are valid until the
+ * next fetch.  Semantics identical to the htslib iterator: linear-index
+ * lower bound, file-order scan, overlap test pos < end && endpos > beg,
+ * stop at pos >= end. */
+int64_t svbam_fetch(void *h, int32_t tid, int64_t beg, int64_t end) {
+    svbam_t *b = h;
+    b->pos.len = b->nops.len = b->opoff.len = b->ops.len = b->lens.len = 0;
+    if (!b->has_idx || tid < 0 || tid >= b->n_ref) return 0;
+    if (beg < 0) beg = 0;
+    if (beg >= end) return 0;
+    ref_idx_t *ri = &b->idx.refs[tid];
+
+    uint64_t min_off = 0;
+    {
+        int64_t win = beg >> 14;
+        if (ri->n_intv > 0) {
+            if (win >= ri->n_intv) win = ri->n_intv - 1;
+            min_off = ri->ioffset[win];
+        }
+    }
+
+    static uint32_t binbuf[40960];
+    int nb = overlap_bins(beg, end, binbuf);
+    vec_t chunks; vec_init(&chunks, sizeof(chunk_t));
+    for (int i = 0; i < nb; i++) {
+        uint32_t want = binbuf[i];
+        for (int j = 0; j < ri->n_bin; j++) {
+            if (ri->bins[j].bin != want) continue;
+            for (int c = 0; c < ri->bins[j].n; c++) {
+                chunk_t ch = ri->bins[j].chunks[c];
+                if (ch.end <= min_off) continue;
+                if (ch.beg < min_off) ch.beg = min_off;
+                *(chunk_t *)vec_push(&chunks, 1) = ch;
+            }
+        }
+    }
+    qsort(chunks.data, chunks.len, sizeof(chunk_t), chunk_cmp);
+    /* merge overlapping/adjacent */
+    chunk_t *cs = chunks.data;
+    size_t m = 0;
+    for (size_t i = 0; i < chunks.len; i++) {
+        if (m && cs[i].beg <= cs[m - 1].end) {
+            if (cs[i].end > cs[m - 1].end) cs[m - 1].end = cs[i].end;
+        } else cs[m++] = cs[i];
+    }
+
+    for (size_t ci = 0; ci < m; ci++) {
+        if (bgzf_seek(&b->z, (int64_t)cs[ci].beg) != 0) break;
+        while ((uint64_t)bgzf_tell(&b->z) < cs[ci].end) {
+            int32_t bsz;
+            if (bgzf_read(&b->z, &bsz, 4) != 4) goto done;
+            if (bsz <= 0) goto done;
+            if ((size_t)bsz > b->rec_cap) {
+                b->rec_cap = bsz * 2;
+                b->rec = realloc(b->rec, b->rec_cap);
+            }
+            if (bgzf_read(&b->z, b->rec, bsz) != bsz) goto done;
+            int32_t rtid = rd_i32(b->rec);
+            int64_t rpos = rd_i32(b->rec + 4);
+            if (rtid != tid || rpos >= end) goto done;
+            uint32_t lrn_flag = rd_u32(b->rec + 8);
+            int l_read_name = lrn_flag & 0xff;
+            uint32_t ncig_flag = rd_u32(b->rec + 12);
+            int n_cigar = ncig_flag & 0xffff;
+            const uint8_t *cig = b->rec + 32 + l_read_name;
+            /* endpos */
+            int64_t ref_len = 0;
+            for (int k = 0; k < n_cigar; k++) {
+                uint32_t v = rd_u32(cig + 4 * k);
+                uint32_t op = v & 0xf, ln = v >> 4;
+                if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+                    ref_len += ln;
+            }
+            int64_t endpos = ref_len > 0 ? rpos + ref_len : rpos + 1;
+            if (endpos <= beg) continue;
+            *(int64_t *)vec_push(&b->pos, 1) = rpos;
+            *(int32_t *)vec_push(&b->nops, 1) = n_cigar;
+            *(int64_t *)vec_push(&b->opoff, 1) = (int64_t)b->ops.len;
+            uint8_t *od = vec_push(&b->ops, n_cigar);
+            int32_t *ld = vec_push(&b->lens, n_cigar);
+            for (int k = 0; k < n_cigar; k++) {
+                uint32_t v = rd_u32(cig + 4 * k);
+                od[k] = (uint8_t)(v & 0xf);
+                ld[k] = (int32_t)(v >> 4);
+            }
+        }
+    }
+done:
+    vec_free(&chunks);
+    return (int64_t)b->pos.len;
+}
+
+const int64_t *svbam_read_pos(void *h)  { return ((svbam_t *)h)->pos.data; }
+const int32_t *svbam_read_nops(void *h) { return ((svbam_t *)h)->nops.data; }
+const int64_t *svbam_read_opoff(void *h){ return ((svbam_t *)h)->opoff.data; }
+const uint8_t *svbam_ops(void *h)       { return ((svbam_t *)h)->ops.data; }
+const int32_t *svbam_oplens(void *h)    { return ((svbam_t *)h)->lens.data; }
+int64_t svbam_total_ops(void *h)        { return (int64_t)((svbam_t *)h)->ops.len; }
+
+/* ------------------------------------------------------------------ */
+/* Scalar refinement baseline (reference semantics, fresh C)            */
+
+#define SV_MIN_LEN 50
+enum { K_DEL_START = 0, K_DEL_END = 1, K_INS = 2, K_POINT = 3 };
+
+static int cmp_i32(const void *a, const void *b) {
+    int32_t x = *(const int32_t *)a, y = *(const int32_t *)b;
+    return x < y ? -1 : (x > y ? 1 : 0);
+}
+
+static int64_t iabs64(int64_t x) { return x < 0 ? -x : x; }
+
+/* consensus_pos with the reference's sweep/early-return semantics
+ * (refinement.c:41-101), written against the same spec as the Python
+ * oracle. */
+int64_t svbaseline_consensus(int32_t *locs, int64_t n, int64_t pos,
+                             int32_t min_count, int32_t interval,
+                             int32_t range) {
+    if (n < min_count || n == 0) return -1;
+    qsort(locs, n, 4, cmp_i32);
+    const int half = SV_MIN_LEN / 2;
+
+    int64_t best_l = -1, dist_l = 0x7fffffff, maxc_l = min_count - 1;
+    int64_t best_r = -1, dist_r = 0x7fffffff, maxc_r = min_count - 1;
+
+    /* lower_bound: last index <= pos+half, clamped */
+    int64_t i = n - 1;
+    for (int64_t k = 0; k < n; k++)
+        if (locs[k] > pos + half) { i = k ? k - 1 : 0; break; }
+
+    for (; i >= 0 && iabs64(pos - locs[i]) < range; i--) {
+        int64_t count = 1;
+        uint64_t total = (uint64_t)locs[i];
+        for (int64_t j = i - 1; j >= 0 && locs[i] <= locs[j] + interval; j--) {
+            count++; total += (uint64_t)locs[j];
+        }
+        int64_t cand = (int64_t)((total + (uint64_t)(count / 2)) / (uint64_t)count);
+        if (count > maxc_l) {
+            int64_t d = iabs64(pos - cand);
+            if (d < interval) return cand;
+            if (d < dist_l) { maxc_l = count; best_l = cand; dist_l = d; }
+        }
+    }
+
+    /* upper_bound quirk: first index with value < pos-half, else n-1 */
+    i = (locs[0] < pos - half) ? 0 : n - 1;
+    for (; i < n && iabs64(pos - locs[i]) < range; i++) {
+        int64_t count = 1;
+        uint64_t total = (uint64_t)locs[i];
+        for (int64_t j = i + 1; j < n && locs[j] <= locs[i] + interval; j++) {
+            count++; total += (uint64_t)locs[j];
+        }
+        int64_t cand = (int64_t)((total + (uint64_t)(count / 2)) / (uint64_t)count);
+        if (count > maxc_r) {
+            int64_t d = iabs64(pos - cand);
+            if (d < interval) return cand;
+            if (d < dist_r) { maxc_r = count; best_r = cand; dist_r = d; }
+        }
+    }
+    return dist_l < dist_r ? best_l : best_r;
+}
+
+/* Evidence walk + consensus for one window over packed reads — the
+ * per-record hot loop of the reference (refine_* kernels), used as the
+ * CPU baseline for breakpoints/sec. */
+int64_t svbaseline_refine(int32_t kind,
+                          const int64_t *rpos, const int32_t *rnops,
+                          const int64_t *ropoff,
+                          const uint8_t *ops, const int32_t *lens,
+                          int64_t n_reads,
+                          int64_t istart, int64_t iend, int64_t ipos,
+                          int32_t min_count, int32_t interval,
+                          int32_t range) {
+    vec_t cands; vec_init(&cands, 4);
+    for (int64_t r = 0; r < n_reads; r++) {
+        int n = rnops[r];
+        if (!n) continue;
+        const uint8_t *o = ops + ropoff[r];
+        const int32_t *l = lens + ropoff[r];
+        uint32_t rp = (uint32_t)rpos[r];
+        if (kind == K_DEL_START) {
+            int check_sc = o[n - 1] == 4;
+            for (int k = 0; k < n; k++) {
+                if (o[k] == 2 && l[k] > SV_MIN_LEN)
+                    *(int32_t *)vec_push(&cands, 1) = (int32_t)rp;
+                if (o[k] != 1 && o[k] != 4) rp += (uint32_t)l[k];
+                if (rp > (uint32_t)iend) { check_sc = 0; break; }
+            }
+            if (check_sc && (uint32_t)istart <= rp && rp <= (uint32_t)iend)
+                *(int32_t *)vec_push(&cands, 1) = (int32_t)rp;
+        } else if (kind == K_DEL_END) {
+            for (int k = 0; k < n; k++) {
+                if (o[k] == 2 && l[k] > SV_MIN_LEN)
+                    *(int32_t *)vec_push(&cands, 1) = (int32_t)(rp + (uint32_t)l[k] + 1u);
+                if (o[k] != 1 && o[k] != 4) rp += (uint32_t)l[k];
+                if (rp > (uint32_t)iend) break;
+            }
+            if (o[0] == 4 && (uint32_t)istart <= (uint32_t)rpos[r]
+                && (uint32_t)rpos[r] <= (uint32_t)iend)
+                *(int32_t *)vec_push(&cands, 1) = (int32_t)(rp + 1u);
+        } else if (kind == K_INS) {
+            for (int k = 0; k < n; k++) {
+                if (o[k] == 1 && l[k] >= SV_MIN_LEN)
+                    *(int32_t *)vec_push(&cands, 1) = (int32_t)rp;
+                if (o[k] != 1 && o[k] != 4) rp += (uint32_t)l[k];
+                if (rp > (uint32_t)iend) break;
+            }
+        } /* K_POINT: collects nothing */
+    }
+    int64_t out = svbaseline_consensus(cands.data, (int64_t)cands.len,
+                                       ipos, min_count, interval, range);
+    vec_free(&cands);
+    return out;
+}

@@ -68,12 +68,14 @@ def audit_refine_step(
     min_count: int = C.CONSENSUS_MIN_COUNT,
     interval: int = C.CONSENSUS_INTERVAL,
     range_: int = C.CONSENSUS_INTERVAL_RANGE,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Refine a packed batch of tasks.
 
-    Returns (refined [B] int32 with -1 = NA, counts [B] int32 candidate
-    counts; counts > K means the window overflowed the candidate capacity
-    and must be recomputed by the host oracle).
+    Returns (refined [B] int32 with -1 = NA,
+             counts [B] int32 candidate counts,
+             overflow [B] bool).  A window whose count exceeds K or whose
+    consensus sweep overflowed must be recomputed by the host oracle —
+    exactness is never silently lost.
     """
     # Per-read window attributes (gather once; windows beyond B are padding).
     wid_c = jnp.clip(window_id, 0, num_windows - 1)
@@ -85,7 +87,7 @@ def audit_refine_step(
         ops, lens, pos, n_ops, kind_r, istart_r, iend_r
     )
     locs, counts = group_candidates_by_window(cand, window_id, num_windows, K)
-    refined = consensus_pos_batch(
+    refined, sweep_ovf = consensus_pos_batch(
         locs,
         jnp.minimum(counts, K),
         imprecise_pos,
@@ -93,4 +95,5 @@ def audit_refine_step(
         interval=interval,
         range_=range_,
     )
-    return refined, counts
+    overflow = sweep_ovf | (counts > K)
+    return refined, counts, overflow

@@ -1,0 +1,61 @@
+"""Batched run-length SV scan for disc mode (device kernel).
+
+The completed form of the reference's empty detection stubs
+(discover.c:203-222), re-shaped for TPU: projected reads arrive as
+fixed-shape (op, len) run arrays; reference/read coordinates are
+exclusive prefix sums; detection is a masked select — one XLA program
+scans thousands of reads at once.  Must agree exactly with the host
+scalar `io.gaf.scan_breakpoints`.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import CIGAR_D, CIGAR_I, CIGAR_M, CIGAR_S, CIGAR_EQ, CIGAR_X
+
+BP_NONE, BP_INS, BP_DEL, BP_CLIP = 0, 1, 2, 3
+
+
+@functools.partial(jax.jit, static_argnames=("min_len",))
+def scan_projected_runs(
+    ops: jnp.ndarray,        # [N, O] int8 run op codes (9 = padding)
+    lens: jnp.ndarray,       # [N, O] int32 run lengths
+    n_runs: jnp.ndarray,     # [N] int32
+    ref_start: jnp.ndarray,  # [N] int32 backbone coord of first ref op
+    *,
+    min_len: int = 50,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (bp_type [N, O], ref_pos [N, O], read_pos [N, O]).
+
+    bp_type is BP_NONE except where a run is an INS/DEL >= min_len or a
+    leading/trailing soft clip >= min_len; ref_pos/read_pos give the
+    0-based backbone / normalized-read offsets of that run's start.
+    """
+    N, O = ops.shape
+    col = jnp.arange(O, dtype=jnp.int32)[None, :]
+    real = col < n_runs[:, None]
+    op = ops.astype(jnp.int32)
+    ln = lens
+
+    is_ref = (op == CIGAR_M) | (op == CIGAR_D) | (op == CIGAR_EQ) | (op == CIGAR_X)
+    is_que = (op == CIGAR_M) | (op == CIGAR_I) | (op == CIGAR_S) | \
+        (op == CIGAR_EQ) | (op == CIGAR_X)
+
+    ref_adv = jnp.where(real & is_ref, ln, 0)
+    que_adv = jnp.where(real & is_que, ln, 0)
+    ref_pos = ref_start[:, None] + jnp.cumsum(ref_adv, axis=1) - ref_adv
+    read_pos = jnp.cumsum(que_adv, axis=1) - que_adv
+
+    big = real & (ln >= min_len)
+    edge = (col == 0) | (col == n_runs[:, None] - 1)
+    bp_type = jnp.where(
+        big & (op == CIGAR_I), BP_INS,
+        jnp.where(
+            big & (op == CIGAR_D), BP_DEL,
+            jnp.where(big & (op == CIGAR_S) & edge, BP_CLIP, BP_NONE),
+        ),
+    ).astype(jnp.int32)
+    return bp_type, ref_pos, read_pos

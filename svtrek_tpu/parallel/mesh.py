@@ -44,11 +44,11 @@ def _local_audit_step(ops, lens, pos, n_ops, window_id, kind,
     locs, counts = group_candidates_by_window(
         cand, window_id, num_windows_local, K
     )
-    refined = consensus_pos_batch(
+    refined, sweep_ovf = consensus_pos_batch(
         locs, jnp.minimum(counts, K), imprecise_pos,
         min_count=min_count, interval=interval, range_=range_,
     )
-    return refined, counts
+    return refined, counts, sweep_ovf | (counts > K)
 
 
 def sharded_audit_step(mesh: Mesh, *, num_windows: int, K: int,
@@ -79,7 +79,7 @@ def sharded_audit_step(mesh: Mesh, *, num_windows: int, K: int,
         local,
         mesh=mesh,
         in_specs=(spec,) * 9,
-        out_specs=(spec, spec),
+        out_specs=(spec, spec, spec),
     )
     return jax.jit(fn)
 

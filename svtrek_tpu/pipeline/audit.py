@@ -56,7 +56,7 @@ def run_refinement(packed: PackedBatch, cfg: AudtConfig) -> list:
     B = b.num_windows
     if B > 0:
         K = _next_pow2(min(cfg.max_candidates, 8192), 128)
-        refined, counts = audit_refine_step(
+        refined, counts, overflow = audit_refine_step(
             b.ops, b.lens, b.pos, b.n_ops, b.window_id,
             b.kind, b.inter_start, b.inter_end, b.imprecise_pos,
             num_windows=B, K=K,
@@ -66,9 +66,10 @@ def run_refinement(packed: PackedBatch, cfg: AudtConfig) -> list:
         )
         refined = np.asarray(refined)
         counts = np.asarray(counts)
+        overflow = np.asarray(overflow)
         for i, w in enumerate(packed.windows):
-            if counts[i] > K:
-                # Candidate capacity overflow: exact host fallback.
+            if overflow[i]:
+                # Capacity/sweep overflow: exact host fallback.
                 r = refine_task(
                     w.kind, packed.reads_per_window[i],
                     w.inter_start, w.inter_end, w.imprecise_pos,
@@ -144,6 +145,19 @@ def run_audit(cfg: AudtConfig, out=None, err=None) -> list[str]:
         print(line, file=out)
 
     print("[INFO] Ended processing variation file", file=out)
+
+    if cfg.refined_vcf:
+        from ..io.vcf_writer import write_refined_vcf
+
+        write_refined_vcf(
+            cfg.refined_vcf, cfg.vcf_file,
+            {
+                t.line_index: (t, results[t.line_index].rstart,
+                               results[t.line_index].rend)
+                for t in tasks
+                if results[t.line_index].emit
+            },
+        )
 
     if cfg.output_file and out is sys.stdout:
         with open(cfg.output_file, "w") as fh:

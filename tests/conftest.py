@@ -4,9 +4,18 @@ compilation across test runs (CPU compiles of the scan-heavy consensus
 kernel are expensive)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# The axon TPU plugin overrides JAX_PLATFORMS; JAX_PLATFORM_NAME wins.
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# Force (not setdefault): the harness exports JAX_PLATFORMS=axon (the
+# real TPU); tests must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
+# A pytest plugin imports jax before this conftest runs, freezing the
+# config defaults from the old env — override via jax.config too (the
+# backend itself initializes lazily, so this still takes effect).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platform_name", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -138,7 +138,7 @@ def test_full_audit_step_matches_oracle(seed):
 
     packed = pack_reads(tasks, O, pad_n=512)
     ops, lens, pos, n_ops, wid, kind, istart, iend, ipos = packed
-    refined, counts = audit_refine_step(
+    refined, counts, overflow = audit_refine_step(
         ops, lens, pos, n_ops, wid, kind, istart, iend, ipos,
         num_windows=len(tasks), K=K,
     )

@@ -67,11 +67,12 @@ def test_consensus_matches_oracle_random(seed):
 
     K = 64
     locs, n, pos = _pack(cases, K)
-    got = np.asarray(consensus_pos_batch(locs, n, pos))
+    got, ovf = consensus_pos_batch(locs, n, pos)
+    assert not np.asarray(ovf).any()
     want = np.array(
         [consensus_pos(vals, p) for vals, p in cases], np.int32
     )
-    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(np.asarray(got), want)
 
 
 @pytest.mark.parametrize("seed", range(4))
@@ -86,11 +87,11 @@ def test_consensus_matches_oracle_nondefault_params(seed):
         cases.append((vals, center + int(rng.integers(-50, 50))))
     K = 32
     locs, n, pos = _pack(cases, K)
-    got = np.asarray(
-        consensus_pos_batch(
-            locs, n, pos, min_count=min_count, interval=interval, range_=range_
-        )
+    got, ovf = consensus_pos_batch(
+        locs, n, pos, min_count=min_count, interval=interval, range_=range_
     )
+    assert not np.asarray(ovf).any()
+    got = np.asarray(got)
     want = np.array(
         [
             consensus_pos(v, p, min_count, interval, range_)
@@ -108,7 +109,7 @@ def test_consensus_early_return_tiebreak():
     pos = 1000
     want = consensus_pos(vals, pos)
     locs, n, p = _pack([(vals, pos)], 16)
-    got = int(np.asarray(consensus_pos_batch(locs, n, p))[0])
+    got = int(np.asarray(consensus_pos_batch(locs, n, p)[0])[0])
     assert got == want
 
 
