@@ -44,7 +44,7 @@ def main():
         "extract",
         lambda: extract_read_candidates(ops, lens, pos32, n_ops, kind_r, is_r, ie_r),
     )[0]
-    locs, counts = timeit(
+    locs, counts, _ = timeit(
         "group", lambda: group_candidates_by_window(cand, wid, B, K)
     )
     counts_c = jnp.minimum(counts, K)

@@ -86,7 +86,9 @@ def audit_refine_step(
     cand, _ = extract_read_candidates(
         ops, lens, pos, n_ops, kind_r, istart_r, iend_r
     )
-    locs, counts = group_candidates_by_window(cand, window_id, num_windows, K)
+    locs, counts, read_ovf = group_candidates_by_window(
+        cand, window_id, num_windows, K
+    )
     refined, sweep_ovf = consensus_pos_batch(
         locs,
         jnp.minimum(counts, K),
@@ -95,5 +97,5 @@ def audit_refine_step(
         interval=interval,
         range_=range_,
     )
-    overflow = sweep_ovf | (counts > K)
+    overflow = sweep_ovf | read_ovf | (counts > K)
     return refined, counts, overflow

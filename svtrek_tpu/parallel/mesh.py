@@ -41,14 +41,14 @@ def _local_audit_step(ops, lens, pos, n_ops, window_id, kind,
     iend_r = jnp.take(inter_end, wid_c)
     cand, _ = extract_read_candidates(ops, lens, pos, n_ops, kind_r,
                                       istart_r, iend_r)
-    locs, counts = group_candidates_by_window(
+    locs, counts, read_ovf = group_candidates_by_window(
         cand, window_id, num_windows_local, K
     )
     refined, sweep_ovf = consensus_pos_batch(
         locs, jnp.minimum(counts, K), imprecise_pos,
         min_count=min_count, interval=interval, range_=range_,
     )
-    return refined, counts, sweep_ovf | (counts > K)
+    return refined, counts, sweep_ovf | read_ovf | (counts > K)
 
 
 def sharded_audit_step(mesh: Mesh, *, num_windows: int, K: int,

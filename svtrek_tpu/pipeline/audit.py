@@ -55,7 +55,7 @@ def run_refinement(packed: PackedBatch, cfg: AudtConfig) -> list:
     b = packed.batch
     B = b.num_windows
     if B > 0:
-        K = _next_pow2(min(cfg.max_candidates, 8192), 128)
+        K = _next_pow2(min(cfg.max_candidates, 8192), 64)
         refined, counts, overflow = audit_refine_step(
             b.ops, b.lens, b.pos, b.n_ops, b.window_id,
             b.kind, b.inter_start, b.inter_end, b.imprecise_pos,
