@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 import svtrek_tpu  # noqa: F401
 from svtrek_tpu.ops.cigar import extract_read_candidates, group_candidates_by_window
-from svtrek_tpu.ops.consensus import consensus_pos_batch, _cluster_stats
+from svtrek_tpu.ops.consensus import consensus_pos_batch
 from bench import make_workload, B, K
 
 
@@ -48,8 +48,9 @@ def main():
         "group", lambda: group_candidates_by_window(cand, wid, B, K)
     )
     counts_c = jnp.minimum(counts, K)
-    timeit("cluster_stats", lambda: _cluster_stats(locs, counts_c, 5))
-    timeit("consensus", lambda: consensus_pos_batch(locs, counts_c, ipos32))
+    timeit("consensus(auto)", lambda: consensus_pos_batch(locs, counts_c, ipos32))
+    timeit("consensus(scan)",
+           lambda: consensus_pos_batch(locs, counts_c, ipos32, impl="scan"))
 
 
 if __name__ == "__main__":

@@ -53,6 +53,23 @@ def build_parser() -> argparse.ArgumentParser:
                       help="[TPU] write a refined VCF (SVELDT=SUCCESS/"
                            "PARTIAL/INCORRECT) to this path")
 
+    scan = sub.add_parser(
+        "scan",
+        help="Windowed INS discovery over a BAM region "
+             "(the reference's dead sliding_window_ins made real).",
+    )
+    scan.add_argument("-b", "--bam", required=True)
+    scan.add_argument("-c", "--chrom", type=int, required=True,
+                      help="Numeric chromosome (1-based, tid = chrom-1)")
+    scan.add_argument("-s", "--start", type=int, required=True)
+    scan.add_argument("-e", "--end", type=int, required=True)
+    _add_common(scan)
+    scan.add_argument("--window-size", type=int, default=1000)
+    scan.add_argument("--slide-size", type=int, default=1)
+    scan.add_argument("--batch-windows", type=int, default=1024,
+                      help="[TPU] sub-windows per device batch")
+    scan.add_argument("--no-native-io", action="store_true")
+
     disc = sub.add_parser("disc", help="Variation discovery on graph alignment result.")
     disc.add_argument("-r", "--gfa", required=True)
     disc.add_argument("-a", "--gaf", required=True)
@@ -99,6 +116,25 @@ def main(argv=None) -> int:
         from .pipeline.audit import run_audit
 
         run_audit(cfg)
+        return 0
+    if args.mode == "scan":
+        from .config import ScanConfig
+
+        cfg = ScanConfig(
+            bam_file=args.bam, chrom=args.chrom, start=args.start,
+            end=args.end, window_size=args.window_size,
+            slide_size=args.slide_size, output_file=args.output,
+            thread_number=args.threads, verbose=args.verbose,
+            consensus_interval_range=args.consensus_interval_range,
+            consensus_interval=args.consensus_interval,
+            consensus_min_count=args.consensus_min_count,
+            batch_windows=args.batch_windows,
+            use_native_io=not args.no_native_io,
+        )
+        validate_file(cfg.bam_file, "[ERROR] BAM file is not provided.")
+        from .pipeline.scan import run_scan
+
+        run_scan(cfg)
         return 0
     if args.mode == "disc":
         cfg = DiscConfig(

@@ -38,6 +38,35 @@ class AudtConfig:
 
 
 @dataclasses.dataclass
+class ScanConfig:
+    """`scan` mode configuration — windowed INS discovery over a BAM
+    region.
+
+    New first-class mode: the reference carries the routine as dead code
+    (sliding_window.c:8-97, no call sites; SURVEY.md §2.11/§3.4), so
+    there is no reference flag surface to mirror; parameters follow the
+    routine's arguments (chrom/interval/windowSize/slideSize).
+    """
+
+    bam_file: str = ""
+    chrom: int = 1                  # numeric, 1-based (refinement.c:114 tid map)
+    start: int = 1                  # 1-based interval start
+    end: int = 1                    # 1-based interval end (exclusive tiling stop)
+    window_size: int = 1000         # sub-window width AND cluster width
+    slide_size: int = 1             # anchor stride over sorted evidence
+    output_file: str = "svtrek.out"
+    thread_number: int = C.THREAD_NUMBER
+    verbose: bool = False
+    consensus_interval_range: int = C.CONSENSUS_INTERVAL_RANGE
+    consensus_interval: int = C.CONSENSUS_INTERVAL
+    consensus_min_count: int = C.CONSENSUS_MIN_COUNT
+    # TPU-native additions:
+    batch_windows: int = 1024       # sub-windows per device batch
+    max_candidates: int = 1024      # evidence cap per sub-window
+    use_native_io: bool = True
+
+
+@dataclasses.dataclass
 class DiscConfig:
     """`disc` mode configuration (reference: params.h:97-111)."""
 

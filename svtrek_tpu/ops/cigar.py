@@ -37,7 +37,11 @@ from ..constants import (
     SV_MIN_LENGTH,
 )
 
-PAD = jnp.int32(C.I32_MAX)
+# Python int, NOT jnp.int32: an eagerly-created jnp scalar is a device
+# buffer, and embedding one as a jit constant permanently drops the
+# runtime off its fast dispatch path (~0.03ms → ~6ms per launch on the
+# tunneled TPU runtime; measured in profile_audit.py's harness).
+PAD = C.I32_MAX
 
 
 @jax.jit

@@ -7,8 +7,9 @@ batched, fixed-shape XLA program, bit-identical to the scalar oracle
 Key re-formulations (SURVEY.md §7, design translation 1):
 - The C inner cluster loops walk contiguous neighbor runs of a *sorted*
   array; each anchor's cluster is a [searchsorted bound, anchor] run, so
-  cluster counts and means become searchsorted + prefix sums — fully
-  parallel over anchors and over the batch.
+  cluster counts and means become searchsorted + prefix sums.  The C
+  outer sweeps only ever visit at most ``sweep_width`` anchors, so stats
+  are computed *at the swept anchors only* ([B, W] work, not [B, K]).
 - The C accumulates cluster totals in uint64 (refinement.c:59).  On TPU
   int64 is emulated and slow, so the kernel computes the cluster mean
   int32-only: cluster values lie within ``interval`` of the anchor L, so
@@ -17,11 +18,14 @@ Key re-formulations (SURVEY.md §7, design translation 1):
   and candidate = L + floor((count/2 − S)/count) reproduces the C
   division exactly.
 - The C outer sweeps carry a running (max_count, best_distance) state
-  with a data-dependent early return — an inherently sequential fold,
-  run as a `lax.scan` whose every step is elementwise over the whole
-  batch.  The sweep is bounded by ``sweep_width`` steps: the C loop only
-  visits anchors within ``consensus_interval_range`` of pos, which is a
-  contiguous index window in the sorted array; windows with more
+  with a data-dependent early return — an inherently sequential
+  record-chain fold (each accepted step must beat BOTH running values,
+  so it is not an associative reduction).  On TPU the fold runs as ONE
+  Pallas kernel (`ops.sweep_pallas`); on CPU (tests, the multi-chip
+  dry run) it runs as a `lax.scan` (`_sweep_scan`) with identical
+  semantics.  The sweep is bounded by ``sweep_width`` steps: the C loop
+  only visits anchors within ``consensus_interval_range`` of pos, which
+  is a contiguous index window in the sorted array; windows with more
   in-range anchors than sweep_width are flagged for host fallback
   (exactness is never silently lost).
 
@@ -37,7 +41,10 @@ import jax.numpy as jnp
 
 from .. import constants as C
 
-_I32_BIG = jnp.int32(0x7FFFFFFF)  # C int distance sentinel (refinement.c:49)
+# C int distance sentinel (refinement.c:49).  Python int, not jnp.int32 —
+# see ops/cigar.py PAD comment (device-const jit captures poison the
+# runtime's fast dispatch path).
+_I32_BIG = 0x7FFFFFFF
 
 
 def _row_searchsorted(rows: jnp.ndarray, queries: jnp.ndarray, side: str) -> jnp.ndarray:
@@ -62,11 +69,12 @@ def _row_searchsorted(rows: jnp.ndarray, queries: jnp.ndarray, side: str) -> jnp
     return lo
 
 
-def _cluster_stats(locs: jnp.ndarray, n: jnp.ndarray, interval: int):
-    """Cluster count/mean for every anchor, both sweep directions.
+def _anchor_stats(locs, prefix, n, anchor_idx, loc_a, interval: int):
+    """Cluster count/candidate at the given anchors, both directions.
 
-    locs: [B, K] int32 sorted ascending, INT32_MAX padding; n: [B].
-    Returns (cand_left, count_left, cand_right, count_right), each [B, K].
+    locs: [B, K] int32 sorted ascending, INT32_MAX padding; prefix:
+    [B, K+1] wrapping int32 prefix sums; anchor_idx/loc_a: [B, W].
+    Returns (cand_l, count_l, cand_r, count_r), each [B, W].
 
     Left cluster at anchor i  = {j <= i : locs[i] - locs[j] <= interval}
     (refinement.c:61-64); right cluster at anchor i =
@@ -75,46 +83,36 @@ def _cluster_stats(locs: jnp.ndarray, n: jnp.ndarray, interval: int):
     floor((total + count/2)/count) with uint64 total via the int32
     wrap-safe delta-sum formulation (see module docstring).
     """
-    B, K = locs.shape
-    # Wrapping int32 prefix sums: differences recover small true sums.
-    zero = jnp.zeros((B, 1), jnp.int32)
-    masked = jnp.where(locs >= _I32_BIG, 0, locs)
-    prefix = jnp.concatenate([zero, jnp.cumsum(masked, axis=1, dtype=jnp.int32)], axis=1)
-
-    idx = jnp.arange(K, dtype=jnp.int32)[None, :]
     # queries clamp: values near INT32_MAX are padding; their stats are
-    # never used (anchors are restricted to < n).
-    q_lo = jnp.where(locs >= _I32_BIG - interval, locs, locs - interval)
-    q_hi = jnp.where(locs >= _I32_BIG - interval, locs, locs + interval)
+    # never used (padded anchors are inactive in the sweep).
+    q_lo = jnp.where(loc_a >= _I32_BIG - interval, loc_a, loc_a - interval)
+    q_hi = jnp.where(loc_a >= _I32_BIG - interval, loc_a, loc_a + interval)
 
     first = _row_searchsorted(locs, q_lo, "left").astype(jnp.int32)
-    count_l = idx - first + 1
+    count_l = anchor_idx - first + 1
     # S = count*L − Σ values  (true value small, exact under int32 wrap)
-    sum_l = jnp.take_along_axis(prefix, idx + 1, axis=1) - \
+    sum_l = jnp.take_along_axis(prefix, anchor_idx + 1, axis=1) - \
         jnp.take_along_axis(prefix, first, axis=1)
-    s_l = count_l * locs - sum_l
-    cand_l = locs + (count_l // 2 - s_l) // jnp.maximum(count_l, 1)
+    s_l = count_l * loc_a - sum_l
+    cand_l = loc_a + (count_l // 2 - s_l) // jnp.maximum(count_l, 1)
 
     last = _row_searchsorted(locs, q_hi, "right").astype(jnp.int32) - 1
     last = jnp.minimum(last, jnp.maximum(n[:, None] - 1, 0))
-    count_r = last - idx + 1
+    count_r = last - anchor_idx + 1
     sum_r = jnp.take_along_axis(prefix, last + 1, axis=1) - \
-        jnp.take_along_axis(prefix, idx, axis=1)
-    s_r = sum_r - count_r * locs
+        jnp.take_along_axis(prefix, anchor_idx, axis=1)
+    s_r = sum_r - count_r * loc_a
     count_r_safe = jnp.maximum(count_r, 1)
-    cand_r = locs + (s_r + count_r_safe // 2) // count_r_safe
+    cand_r = loc_a + (s_r + count_r_safe // 2) // count_r_safe
 
     return cand_l, count_l, cand_r, count_r
 
 
-def _sweep(anchor_idx, active, cand, count, pos, min_count: int, interval: int,
-           allow: jnp.ndarray):
-    """One consensus sweep (left or right) as a batched sequential fold
-    (refinement.c:58-76 / 80-98). anchor_idx/active: [B, W]."""
-    B, W = anchor_idx.shape
-
-    cand_at = jnp.take_along_axis(cand, anchor_idx, axis=1)     # [B, W]
-    count_at = jnp.take_along_axis(count, anchor_idx, axis=1)
+def _sweep_scan(active, cand_at, count_at, pos, min_count: int, interval: int,
+                allow: jnp.ndarray):
+    """One consensus sweep as a batched sequential fold
+    (refinement.c:58-76 / 80-98) — the CPU/semantic-reference path.
+    active/cand_at/count_at: [B, W] already gathered at anchors."""
     dist_at = jnp.abs(pos[:, None] - cand_at)
 
     def body(carry, xs):
@@ -153,9 +151,16 @@ def _sweep(anchor_idx, active, cand, count, pos, min_count: int, interval: int,
     return returned, ret_val, best_val, best_dist
 
 
+def _default_impl() -> str:
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "scan"
+    except Exception:  # pragma: no cover - backend probe never fails in CI
+        return "scan"
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("min_count", "interval", "range_", "sweep_width"),
+    static_argnames=("min_count", "interval", "range_", "sweep_width", "impl"),
 )
 def consensus_pos_batch(
     locs: jnp.ndarray,
@@ -166,23 +171,31 @@ def consensus_pos_batch(
     interval: int = C.CONSENSUS_INTERVAL,
     range_: int = C.CONSENSUS_INTERVAL_RANGE,
     sweep_width: int = 128,
+    impl: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched consensus_pos. Bit-identical to refinement.c:41-101 for
     windows without sweep overflow.
 
     locs: [B, K] int32, sorted ascending per row, INT32_MAX padding.
     n:    [B] int32 valid counts;  pos: [B] int32 imprecise positions.
+    impl: "pallas" | "pallas_interpret" | "scan" | None (auto: Pallas on
+          TPU backends, scan elsewhere).
     Returns (refined [B] int32 with -1 = NA,
              overflow [B] bool — sweep window exceeded; recompute those
              rows on the host for exactness).
     """
+    impl = impl or _default_impl()
     B, K = locs.shape
     n = n.astype(jnp.int32)
     pos = pos.astype(jnp.int32)
     half = C.SV_MIN_LENGTH // 2
     W = min(sweep_width, K)
 
-    cand_l, count_l, cand_r, count_r = _cluster_stats(locs, n, interval)
+    # Wrapping int32 prefix sums: differences recover small true sums.
+    zero = jnp.zeros((B, 1), jnp.int32)
+    masked = jnp.where(locs >= _I32_BIG, 0, locs)
+    prefix = jnp.concatenate(
+        [zero, jnp.cumsum(masked, axis=1, dtype=jnp.int32)], axis=1)
 
     k_idx = jnp.arange(W, dtype=jnp.int32)[None, :]
 
@@ -197,11 +210,6 @@ def consensus_pos_batch(
     loc_at_l = jnp.take_along_axis(locs, idx_l_c, axis=1)
     ok_l = in_bounds_l & (jnp.abs(pos[:, None] - loc_at_l) < range_)
     active_l = jnp.cumsum(jnp.where(ok_l, 0, 1), axis=1) == 0  # cumulative AND
-
-    allow_all = jnp.ones((B,), bool)
-    ret_l, retv_l, best_l, dist_l = _sweep(
-        idx_l_c, active_l, cand_l, count_l, pos, min_count, interval, allow_all
-    )
     # Overflow: the sweep was still in-range at its last step AND more
     # anchors existed beyond the window.
     ovf_l = active_l[:, -1] & (point_l - (W - 1) > 0)
@@ -220,16 +228,33 @@ def consensus_pos_batch(
     loc_at_r = jnp.take_along_axis(locs, idx_r_c, axis=1)
     ok_r = in_bounds_r & (jnp.abs(pos[:, None] - loc_at_r) < range_)
     active_r = jnp.cumsum(jnp.where(ok_r, 0, 1), axis=1) == 0
-
-    ret_r, retv_r, best_r, dist_r = _sweep(
-        idx_r_c, active_r, cand_r, count_r, pos, min_count, interval, ~ret_l
-    )
     ovf_r = active_r[:, -1] & (point_r + (W - 1) < n - 1)
 
-    # Final selection (refinement.c:100): left wins only on strictly
-    # smaller distance.
-    final = jnp.where(dist_l < dist_r, best_l, best_r)
-    out = jnp.where(ret_l, retv_l, jnp.where(ret_r, retv_r, final))
+    # Cluster stats at the swept anchors only ([B, W], not [B, K]).
+    cand_l, count_l, _, _ = _anchor_stats(
+        locs, prefix, n, idx_l_c, loc_at_l, interval)
+    _, _, cand_r, count_r = _anchor_stats(
+        locs, prefix, n, idx_r_c, loc_at_r, interval)
+
+    if impl in ("pallas", "pallas_interpret"):
+        from .sweep_pallas import sweep_fold_pallas
+
+        out = sweep_fold_pallas(
+            pos, cand_l, count_l, active_l, cand_r, count_r, active_r,
+            min_count=min_count, interval=interval,
+            interpret=(impl == "pallas_interpret"),
+        )
+    else:
+        allow_all = jnp.ones((B,), bool)
+        ret_l, retv_l, best_l, dist_l = _sweep_scan(
+            active_l, cand_l, count_l, pos, min_count, interval, allow_all)
+        ret_r, retv_r, best_r, dist_r = _sweep_scan(
+            active_r, cand_r, count_r, pos, min_count, interval, ~ret_l)
+        # Final selection (refinement.c:100): left wins only on strictly
+        # smaller distance.
+        final = jnp.where(dist_l < dist_r, best_l, best_r)
+        out = jnp.where(ret_l, retv_l, jnp.where(ret_r, retv_r, final))
+
     invalid = (n < min_count) | (n <= 0)
     out = jnp.where(invalid, jnp.int32(-1), out)
     overflow = (ovf_l | ovf_r) & (~invalid)

@@ -13,6 +13,7 @@ from .refine import (
     refine_task,
     lower_bound,
     upper_bound,
+    window_scan,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "refine_task",
     "lower_bound",
     "upper_bound",
+    "window_scan",
 ]

@@ -238,6 +238,50 @@ def extract_candidates(
     return out
 
 
+def _c_div(num: int, den: int) -> int:
+    """C truncating integer division (toward zero)."""
+    q = abs(num) // abs(den)
+    return -q if (num < 0) != (den < 0) else q
+
+
+def window_scan(
+    positions: Iterable[int],
+    consensus_min_count: int = C.CONSENSUS_MIN_COUNT,
+    window_size: int = 1000,
+    slide_size: int = 1,
+) -> tuple[int, int]:
+    """Strided cluster scan over one sub-window's INS evidence.
+
+    Reference: sliding_window.c:60-92 (the dead sliding-window insertion
+    discovery, made a real feature here; SURVEY.md §2.11/§3.4).  Anchors
+    every ``slide_size`` indices of the sorted evidence open a cluster of
+    values within ``window_size``; the best-supported anchor (ascending,
+    strictly-greater updates, support >= min_count) reports the rounded
+    cluster mean — accumulated in *wrapping* int32 with C truncating
+    division, exactly like the reference's plain `int sum`
+    (sliding_window.c:78-82).
+
+    Returns (best_position or -1, support or 0).
+    """
+    locs = sorted(C.i32(p) for p in positions)
+    size = len(locs)
+    best, max_support = -1, 0
+    i = 0
+    while i < size:
+        end = i
+        while end < size and locs[end] - locs[i] <= window_size:
+            end += 1
+        support = end - i
+        if support >= consensus_min_count and support > max_support:
+            max_support = support
+            s = 0
+            for j in range(i, end):
+                s = C.i32(s + locs[j])
+            best = _c_div(C.i32(s + support // 2), support)
+        i += slide_size
+    return best, max_support
+
+
 def refine_task(
     kind: int,
     reads: Sequence[tuple[int, Sequence[tuple[int, int]]]],

@@ -1,0 +1,175 @@
+"""`scan` mode driver: windowed INS discovery over a BAM region.
+
+Makes the reference's dead sliding-window discovery a real mode
+(sliding_window.c:8-97 has no call site and a mismatched header name;
+SURVEY.md §2.11/§3.4).  Pipeline: tile [start, end) into
+``window_size``-wide sub-windows; each sub-window is one batch row —
+host fetches its reads (tid = chrom-1, 1-based bounds exactly like
+sliding_window.c:27), the device extracts INS evidence
+(ops.cigar.extract_read_candidates, same rule as refine_ins), groups it
+per sub-window, and runs the strided cluster scan kernel
+(ops.window_scan).  Sub-windows whose evidence overflows the device
+capacity fall back to the scalar oracle — exactness is never silently
+lost.
+
+Output mirrors the reference's per-window print
+(sliding_window.c:87) plus an overall-best summary line (the reference
+only *returns* the overall best; printing it is this framework's
+defined behavior).
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from .. import constants as C
+from ..config import ScanConfig
+from ..constants import KIND_INS
+from ..ops.cigar import extract_read_candidates, group_candidates_by_window
+from ..ops.window_scan import window_scan_batch
+from ..oracle import extract_candidates, window_scan
+
+
+def _next_pow2(n: int, lo: int = 16) -> int:
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
+def scan_tiles(cfg: ScanConfig) -> list[tuple[int, int]]:
+    """[start, end) tiling: sub_start += window_size, last tile clipped
+    (sliding_window.c:12-15)."""
+    tiles = []
+    s = C.u32(cfg.start)
+    while s < C.u32(cfg.end):
+        e = min(C.u32(s + cfg.window_size), C.u32(cfg.end))
+        tiles.append((s, e))
+        s = C.u32(s + cfg.window_size)
+    return tiles
+
+
+def run_scan_tiles(
+    tiles: list[tuple[int, int]],
+    fetch,
+    cfg: ScanConfig,
+) -> list[tuple[int, int]]:
+    """Run the windowed scan over pre-built tiles.
+
+    ``fetch(tid, beg, end)`` → [(pos, [(op, len), ...]), ...].
+    Returns [(best_pos or -1, support)] per tile.
+    """
+    results: list[tuple[int, int]] = [(-1, 0)] * len(tiles)
+    K = _next_pow2(min(cfg.max_candidates, 8192), 64)
+    tid = cfg.chrom - 1
+
+    for base in range(0, len(tiles), cfg.batch_windows):
+        chunk = tiles[base : base + cfg.batch_windows]
+        per_tile_reads = []
+        max_ops = 1
+        n_reads = 0
+        for (s, e) in chunk:
+            reads = [] if tid < 0 else fetch(tid, C.u32(s - 1), C.u32(e - 1))
+            per_tile_reads.append(reads)
+            n_reads += len(reads)
+            for _, cig in reads:
+                max_ops = max(max_ops, len(cig))
+
+        B = len(chunk)
+        O = _next_pow2(max_ops, 16)
+        N = max(n_reads, 1)
+        ops = np.full((N, O), 9, np.int8)
+        lens = np.zeros((N, O), np.int32)
+        pos = np.zeros(N, np.int32)
+        n_ops = np.zeros(N, np.int32)
+        wid = np.full(N, B, np.int32)
+        kind = np.full(B, KIND_INS, np.int32)
+        istart = np.zeros(B, np.int32)
+        iend = np.zeros(B, np.int32)
+        r = 0
+        for b, ((s, e), reads) in enumerate(zip(chunk, per_tile_reads)):
+            istart[b] = np.int64(s).astype(np.int32)
+            iend[b] = np.int64(e).astype(np.int32)
+            for rp, cig in reads:
+                k = len(cig)
+                if k:
+                    arr = np.asarray(cig, np.int64)
+                    ops[r, :k] = arr[:, 0].astype(np.int8)
+                    lens[r, :k] = arr[:, 1].astype(np.int32)
+                pos[r] = rp
+                n_ops[r] = k
+                wid[r] = b
+                r += 1
+
+        kind_r = kind[np.clip(wid, 0, B - 1)]
+        is_r = istart[np.clip(wid, 0, B - 1)]
+        ie_r = iend[np.clip(wid, 0, B - 1)]
+        cand, _ = extract_read_candidates(
+            ops, lens, pos, n_ops, kind_r, is_r, ie_r)
+        locs, counts, read_ovf = group_candidates_by_window(cand, wid, B, K)
+        best, support = window_scan_batch(
+            locs, np.minimum(np.asarray(counts), K),
+            min_count=cfg.consensus_min_count,
+            window_size=cfg.window_size, slide_size=cfg.slide_size,
+        )
+        best = np.asarray(best)
+        support = np.asarray(support)
+        counts = np.asarray(counts)
+        read_ovf = np.asarray(read_ovf)
+        for b, (s, e) in enumerate(chunk):
+            if read_ovf[b] or counts[b] > K:
+                evidence = extract_candidates(
+                    KIND_INS, per_tile_reads[b], s, e)
+                results[base + b] = window_scan(
+                    evidence, cfg.consensus_min_count,
+                    cfg.window_size, cfg.slide_size)
+            else:
+                results[base + b] = (int(best[b]), int(support[b]))
+    return results
+
+
+def run_scan(cfg: ScanConfig, out=None, err=None) -> tuple[int, list[str]]:
+    """Full scan pipeline.  Returns (overall_best_pos or -1, lines)."""
+    out = out or sys.stdout
+
+    from ..io.bam import BamReader
+    from ..native import native_bam_reader
+
+    reader = None
+    if cfg.use_native_io:
+        reader = native_bam_reader(cfg.bam_file)
+    if reader is None:
+        reader = BamReader(cfg.bam_file)
+
+    def fetch(tid, beg, end):
+        return [
+            (rec.pos, rec.cigar) for rec in reader.fetch(tid, int(beg), int(end))
+        ]
+
+    tiles = scan_tiles(cfg)
+    results = run_scan_tiles(tiles, fetch, cfg)
+
+    lines = []
+    best_overall, support_overall = -1, 0
+    for (s, e), (bp, sup) in zip(tiles, results):
+        if bp != -1:
+            # Per-window report (sliding_window.c:87).
+            lines.append(
+                f"INS Discovery in window [{s}, {e}] at position {bp} "
+                f"with support {sup}"
+            )
+            if sup > support_overall:
+                support_overall = sup
+                best_overall = bp
+    lines.append(
+        f"(SCAN INS) best position: {best_overall}, "
+        f"support: {support_overall}"
+    )
+    for line in lines:
+        print(line, file=out)
+
+    if cfg.output_file and out is sys.stdout:
+        with open(cfg.output_file, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    return best_overall, lines

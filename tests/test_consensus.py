@@ -114,6 +114,29 @@ def test_consensus_early_return_tiebreak():
 
 
 @pytest.mark.parametrize("seed", range(4))
+def test_pallas_sweep_matches_scan(seed):
+    """The fused Pallas sweep kernel (interpret mode on CPU) must agree
+    bit-for-bit with the lax.scan reference fold — same inputs, same
+    refined positions (ops/sweep_pallas.py)."""
+    rng = np.random.default_rng(300 + seed)
+    cases = []
+    for _ in range(40):
+        n = int(rng.integers(0, 40))
+        center = int(rng.integers(1000, 100000))
+        vals = [
+            center + int(rng.integers(-600, 600)) if rng.integers(0, 2)
+            else center + int(rng.integers(-6, 7))
+            for _ in range(n)
+        ]
+        cases.append((vals, center + int(rng.integers(-100, 100))))
+    locs, n, pos = _pack(cases, 64)
+    got_scan, ovf_s = consensus_pos_batch(locs, n, pos, impl="scan")
+    got_pl, ovf_p = consensus_pos_batch(locs, n, pos, impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(got_scan), np.asarray(got_pl))
+    np.testing.assert_array_equal(np.asarray(ovf_s), np.asarray(ovf_p))
+
+
+@pytest.mark.parametrize("seed", range(4))
 def test_consensus_lengths_matches_oracle(seed):
     rng = np.random.default_rng(200 + seed)
     cases = []
