@@ -1,0 +1,235 @@
+"""Batched banded edit-distance DP on TPU (the "POA DP cells/sec" path).
+
+Semantic anchor: the scalar ``banded_align`` in ops/poa.py — this module
+computes the identical per-target-column query bases for a whole batch of
+(target, query) pairs in ONE jitted XLA program.  There is no reference
+behavior to match: the reference declares abPOA as a submodule but never
+calls it (SURVEY.md §2.14) and leaves the disc-mode MSA a TODO
+(discover.c:401), so the scalar implementation defines the semantics and
+this kernel must reproduce it bit-for-bit (property-tested in
+tests/test_poa_batch.py).
+
+TPU-native formulation (not an anti-diagonal wavefront):
+
+* one ``lax.scan`` step per QUERY ROW (N steps, not N+M) — each step
+  updates the banded row vector of width 2W+1 entirely on the VPU;
+* the in-row left-gap recurrence ``score[j] = max(score[j-1]+GAP, c[j])``
+  is a max-plus prefix scan: with ``g[k] = c[k] - GAP*k`` it becomes an
+  exclusive ``lax.cummax`` — O(width) vectorized, no sequential inner
+  loop;
+* per-pair band widths are DYNAMIC (traced) inside one STATIC storage
+  band W, so pairs with different |n-m| share one compiled program;
+* traceback also runs on device: a second scan of N+M steps walking the
+  int8 pointer tensor, emitting the query base aligned to each target
+  column;
+* the whole thing is ``vmap``-ed over the pair batch, so every scan step
+  works on a [B, 2W+1] block — large enough to keep the VPU busy.
+
+Scores are int32; NEG is -2^28 so band-invalid cells stay strictly worse
+than any reachable score without overflowing when gap terms are added.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .poa import GAP, MATCH, MISMATCH, _BASES, banded_align, encode
+
+NEG = -(1 << 28)
+
+
+def _dp_one(t, m, q, n, band, *, W: int):
+    """Banded DP + traceback for one (target, query) pair.
+
+    t: [M] int8 padded target; q: [N] int8 padded query;
+    m, n, band: traced int32 true lengths / band half-width (band <= W).
+    Returns cols [M] int8: query base per target column, -1 = gap.
+    """
+    M = t.shape[0]
+    N = q.shape[0]
+    width = 2 * W + 1
+    karr = jnp.arange(width, dtype=jnp.int32)
+    gapk = GAP * karr
+
+    # Padded target so row i's bases t[j-1], j = i + k - W, are one
+    # dynamic_slice: tbig[i + k] == t[j - 1].
+    tbig = jnp.full((M + 2 * W + 2,), jnp.int8(5))
+    tbig = jax.lax.dynamic_update_slice(tbig, t, (W + 1,))
+
+    # Row 0: score[0, j] = GAP*j for 0 <= j <= min(m, band)
+    # (scalar poa.py:45); band coordinate k = j + W.
+    j0 = karr - W
+    row0 = jnp.where(
+        (j0 >= 0) & (j0 <= jnp.minimum(m, band)), GAP * j0, NEG
+    ).astype(jnp.int32)
+
+    def step(prev, i):
+        j = i + karr - W
+        tb = jax.lax.dynamic_slice(tbig, (i,), (width,))
+        qi = q[i - 1]
+        sub = jnp.where(tb == qi, MATCH, MISMATCH)
+        # diag (i-1, j-1) is prev[k]; up (i-1, j) is prev[k+1].
+        diag = prev + sub
+        up = jnp.concatenate([prev[1:], jnp.full((1,), NEG, prev.dtype)]) + GAP
+        c = jnp.maximum(diag, up)
+        pc = jnp.where(up > diag, jnp.int8(1), jnp.int8(0))  # tie → diag
+        validj = (j >= 1) & (j <= m) & (jnp.abs(j - i) <= band)
+        cand = jnp.where(validj, c, NEG)
+        pcand = pc
+        # Left-column boundary score[i, 0] = GAP*i while i <= band
+        # (scalar poa.py:50-52) participates as a left-gap source.
+        bmask = (j == 0) & (i <= band)
+        cand = jnp.where(bmask, GAP * i, cand)
+        pcand = jnp.where(bmask, jnp.int8(1), pcand)
+        # In-row left gaps: score[k] = max_{d>=1} cand[k-d] + GAP*d
+        #                            = GAP*k + max_{k'<k} (cand[k'] - GAP*k')
+        g = cand - gapk
+        cm = jax.lax.cummax(g, axis=0)
+        pexc = jnp.concatenate([jnp.full((1,), NEG, cm.dtype), cm[:-1]])
+        left = pexc + gapk
+        use_left = validj & (left > cand)  # strict: scalar prefers diag/up
+        row = jnp.where(use_left, left, cand)
+        prow = jnp.where(use_left, jnp.int8(2), pcand)
+        row = jnp.where(validj | bmask, row, NEG)
+        return row, prow
+
+    _, ptr = jax.lax.scan(
+        step, row0, jnp.arange(1, N + 1, dtype=jnp.int32)
+    )  # ptr[i-1] = pointer row i, int8 [N, width]
+
+    # Traceback (scalar poa.py:66-79): diag emits the query base onto the
+    # target column; row 0 always moves left; column 0 always moves up.
+    def tb_step(carry, _):
+        i, j, cols = carry
+        active = (i > 0) | (j > 0)
+        k = jnp.clip(j - i + W, 0, 2 * W)
+        p = ptr[jnp.maximum(i - 1, 0), k]
+        p = jnp.where(i == 0, jnp.int8(2), p)
+        p = jnp.where((j == 0) & (i > 0), jnp.int8(1), p)
+        dg = active & (i > 0) & (j > 0) & (p == 0)
+        up_ = active & ~dg & (i > 0) & (p == 1)
+        lf = active & ~dg & ~up_
+        idx = jnp.maximum(j - 1, 0)
+        val = jnp.where(dg, q[jnp.maximum(i - 1, 0)], cols[idx])
+        cols = cols.at[idx].set(val)
+        i = i - (dg | up_).astype(i.dtype)
+        j = j - (dg | lf).astype(j.dtype)
+        return (i, j, cols), None
+
+    cols0 = jnp.full((M,), -1, jnp.int8)
+    (_, _, cols), _ = jax.lax.scan(
+        tb_step, (n, m, cols0), None, length=N + M
+    )
+    return cols
+
+
+@functools.partial(jax.jit, static_argnames=("W",))
+def _dp_cols_batch(tpad, ms, qpad, ns, bands, *, W):
+    return jax.vmap(functools.partial(_dp_one, W=W))(tpad, ms, qpad, ns, bands)
+
+
+def _pow2(n: int, lo: int) -> int:
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
+def banded_cols_batch(targets, queries, band: int = 64,
+                      band_cap: int = 512):
+    """Batched drop-in for ``banded_align`` over pair lists.
+
+    targets/queries: lists of int8 numpy arrays.  Returns a list of cols
+    arrays (len(target) each).  Pairs whose effective band
+    max(band, |n-m|+1) exceeds ``band_cap`` or exceeds the target length
+    fall back to the scalar host path (they are rare and the wide band
+    would dominate the batch's compiled shape).
+    """
+    assert len(targets) == len(queries)
+    nn = len(targets)
+    cols_out = [None] * nn
+    dev_idx = []
+    for i, (t, q) in enumerate(zip(targets, queries)):
+        eb = max(band, abs(len(q) - len(t)) + 1)
+        if eb > band_cap or eb >= max(len(t), 1) + len(q):
+            cols_out[i] = banded_align(t, q, band)
+        else:
+            dev_idx.append(i)
+    if not dev_idx:
+        return cols_out
+    Mp = _pow2(max(len(targets[i]) for i in dev_idx), 16)
+    Np = _pow2(max(len(queries[i]) for i in dev_idx), 16)
+    Wm = max(
+        max(band, abs(len(queries[i]) - len(targets[i])) + 1)
+        for i in dev_idx
+    )
+    W = _pow2(Wm, 16)
+    B = len(dev_idx)
+    tpad = np.full((B, Mp), 5, np.int8)
+    qpad = np.full((B, Np), 5, np.int8)
+    ms = np.zeros(B, np.int32)
+    ns = np.zeros(B, np.int32)
+    bands = np.zeros(B, np.int32)
+    for bi, i in enumerate(dev_idx):
+        t, q = targets[i], queries[i]
+        tpad[bi, : len(t)] = t
+        qpad[bi, : len(q)] = q
+        ms[bi] = len(t)
+        ns[bi] = len(q)
+        bands[bi] = max(band, abs(len(q) - len(t)) + 1)
+    cols = np.asarray(_dp_cols_batch(tpad, ms, qpad, ns, bands, W=W))
+    for bi, i in enumerate(dev_idx):
+        cols_out[i] = cols[bi, : ms[bi]]
+    return cols_out
+
+
+def consensus_sequence_batch(clusters, band: int = 64,
+                             max_len: int = 4096) -> list[str]:
+    """Batched star-MSA consensus: semantics of ``consensus_sequence``
+    (ops/poa.py:82) applied to many clusters with all member→medoid
+    alignments fused into one device DP batch."""
+    results: list[str | None] = [None] * len(clusters)
+    votes: dict[int, np.ndarray] = {}
+    medoids: dict[int, str] = {}
+    pair_cluster: list[int] = []
+    pair_t: list[np.ndarray] = []
+    pair_q: list[np.ndarray] = []
+    for ci, seqs in enumerate(clusters):
+        seqs = [s for s in seqs if s]
+        if not seqs:
+            results[ci] = ""
+            continue
+        if len(seqs) == 1:
+            results[ci] = seqs[0]
+            continue
+        order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
+        medoid = seqs[order[len(order) // 2]]
+        if len(medoid) > max_len:
+            results[ci] = medoid
+            continue
+        target = encode(medoid)
+        m = len(target)
+        v = np.zeros((m, 6), np.int32)
+        for s in seqs:
+            if s == medoid:
+                v[np.arange(m), target] += 1
+            else:
+                pair_cluster.append(ci)
+                pair_t.append(target)
+                pair_q.append(encode(s[: 4 * m]))
+        votes[ci] = v
+        medoids[ci] = medoid
+    if pair_cluster:
+        all_cols = banded_cols_batch(pair_t, pair_q, band)
+        for ci, cols in zip(pair_cluster, all_cols):
+            v = votes[ci]
+            gap = cols < 0
+            np.add.at(v, (np.nonzero(~gap)[0], cols[~gap]), 1)
+            v[gap, 5] += 1
+    for ci, v in votes.items():
+        winner = v.argmax(axis=1)
+        results[ci] = "".join(_BASES[w] for w in winner if w != 5)
+    return results  # type: ignore[return-value]

@@ -177,14 +177,13 @@ def consensus_insert_sequences(
             if sub:
                 per_cluster.setdefault(id(c), []).append(sub)
 
-    from ..ops.poa import consensus_sequence
+    from ..ops.poa_batch import consensus_sequence_batch
 
-    for c in clusters:
-        if c.type != "INS":
-            continue
-        seqs = per_cluster.get(id(c), [])
-        if seqs:
-            c.seq = consensus_sequence(seqs)
+    ins = [c for c in clusters if c.type == "INS"]
+    seq_lists = [per_cluster.get(id(c), []) for c in ins]
+    for c, s in zip(ins, consensus_sequence_batch(seq_lists)):
+        if s:
+            c.seq = s
 
 
 def run_discover(cfg: DiscConfig, out=None, err=None) -> list[str]:
