@@ -52,6 +52,17 @@ def build_parser() -> argparse.ArgumentParser:
     audt.add_argument("--refined-vcf", default="",
                       help="[TPU] write a refined VCF (SVELDT=SUCCESS/"
                            "PARTIAL/INCORRECT) to this path")
+    audt.add_argument("--data-shards", type=int, default=0,
+                      help="[TPU] mesh shards per device batch "
+                           "(0 = all local devices)")
+    audt.add_argument("--num-shards", type=int, default=1,
+                      help="[TPU] split records across N independent "
+                           "jobs/hosts (whole-genome scale-out)")
+    audt.add_argument("--shard-index", type=int, default=0,
+                      help="[TPU] which record shard this job owns")
+    audt.add_argument("--resume", action="store_true", default=False,
+                      help="[TPU] append to --output, skipping records "
+                           "whose result lines are already there")
 
     scan = sub.add_parser(
         "scan",
@@ -110,6 +121,10 @@ def main(argv=None) -> int:
             max_candidates=args.max_candidates,
             use_native_io=not args.no_native_io,
             refined_vcf=args.refined_vcf,
+            data_shards=args.data_shards,
+            num_shards=args.num_shards,
+            shard_index=args.shard_index,
+            resume=args.resume,
         )
         validate_file(cfg.bam_file, "[ERROR] BAM file is not provided.")
         validate_file(cfg.vcf_file, "[ERROR] VCF file is not provided.")

@@ -35,6 +35,10 @@ class AudtConfig:
     use_native_io: bool = True      # prefer the C BAM reader when built
     device: str = ""                # "" = default JAX backend
     refined_vcf: str = ""           # write a refined VCF here (SVELDT status)
+    data_shards: int = 0            # mesh shards per batch (0 = all local devices)
+    num_shards: int = 1             # record-level sharding across hosts/jobs
+    shard_index: int = 0            # which record shard this process owns
+    resume: bool = False            # skip records already in output_file
 
 
 @dataclasses.dataclass

@@ -7,11 +7,28 @@ jitted XLA program per bucket refines a whole batch at once; results are
 emitted deterministically in input order (removing the reference's
 unsynchronized-stdout interleaving class of bug; SURVEY.md §5 'race
 detection').
+
+The reference's producer-consumer line queue (audit.c:13-48, capacity
+tload_factor × threads) survives as a bounded batch queue: a producer
+thread does BAM fetch + packing while the device chews the previous
+batch, and the driver keeps one device batch in flight (JAX async
+dispatch), so host I/O, host packing, and device compute overlap —
+the double-buffered input pipeline of SURVEY.md §2's template mapping.
+
+With more than one accelerator visible (or cfg.data_shards set), each
+batch is packed shard-blockwise and refined by the shard_map'd multi-chip
+step (parallel.mesh.sharded_audit_step) — record-granular data
+parallelism over the mesh, the reference's pthread model mapped to ICI.
 """
 from __future__ import annotations
 
+import functools
+import os
+import queue
 import sys
-from dataclasses import dataclass
+import threading
+import time
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -41,6 +58,39 @@ class AuditResult:
         )
 
 
+@dataclass
+class AuditStats:
+    """Per-stage wall-clock and work counters (real --verbose;
+    the reference parses the flag and never reads it, SURVEY.md §5)."""
+
+    parse_s: float = 0.0
+    pack_s: float = 0.0      # producer thread: BAM fetch + packing
+    device_s: float = 0.0    # blocked on device results
+    emit_s: float = 0.0
+    total_s: float = 0.0
+    records: int = 0
+    windows: int = 0
+    reads: int = 0
+    batches: int = 0
+    oracle_windows: int = 0  # host-fallback windows (too-long / overflow)
+    data_shards: int = 1
+
+    def report(self, err) -> None:
+        print(
+            f"[VERBOSE] records={self.records} windows={self.windows} "
+            f"reads={self.reads} batches={self.batches} "
+            f"oracle_fallbacks={self.oracle_windows} "
+            f"data_shards={self.data_shards}",
+            file=err,
+        )
+        print(
+            f"[VERBOSE] parse={self.parse_s:.3f}s "
+            f"fetch+pack={self.pack_s:.3f}s device_wait={self.device_s:.3f}s "
+            f"emit={self.emit_s:.3f}s total={self.total_s:.3f}s",
+            file=err,
+        )
+
+
 def _next_pow2(n: int, lo: int = 16) -> int:
     v = lo
     while v < n:
@@ -48,28 +98,71 @@ def _next_pow2(n: int, lo: int = 16) -> int:
     return v
 
 
-def run_refinement(packed: PackedBatch, cfg: AudtConfig) -> list:
-    """Run one packed batch on device (+ oracle fallback). Returns
+@functools.lru_cache(maxsize=None)
+def _get_sharded_step(n_dev: int, num_windows: int, K: int,
+                      min_count: int, interval: int, range_: int):
+    import jax
+
+    from ..parallel.mesh import make_mesh, sharded_audit_step
+
+    mesh = make_mesh(jax.devices()[:n_dev])
+    return sharded_audit_step(
+        mesh, num_windows=num_windows, K=K,
+        min_count=min_count, interval=interval, range_=range_,
+    )
+
+
+def resolve_data_shards(cfg) -> int:
+    """How many mesh shards to pack for: cfg.data_shards, or (auto) the
+    local device count. Import of jax is deferred so pure-host paths
+    never initialize a backend."""
+    n = getattr(cfg, "data_shards", 0)
+    if n and n > 0:
+        return n
+    import jax
+
+    return max(1, jax.local_device_count())
+
+
+def dispatch_refinement(packed: PackedBatch, cfg: AudtConfig):
+    """Launch the device step for one packed batch (async dispatch);
+    returns the un-materialized device arrays, or None for empty."""
+    b = packed.batch
+    if b.num_windows == 0:
+        return None
+    K = _next_pow2(min(cfg.max_candidates, 8192), 64)
+    if packed.n_shards > 1:
+        step = _get_sharded_step(
+            packed.n_shards, b.num_windows, K,
+            cfg.consensus_min_count, cfg.consensus_interval,
+            cfg.consensus_interval_range,
+        )
+        return step(b.ops, b.lens, b.pos, b.n_ops, b.window_id,
+                    b.kind, b.inter_start, b.inter_end, b.imprecise_pos)
+    return audit_refine_step(
+        b.ops, b.lens, b.pos, b.n_ops, b.window_id,
+        b.kind, b.inter_start, b.inter_end, b.imprecise_pos,
+        num_windows=b.num_windows, K=K,
+        min_count=cfg.consensus_min_count,
+        interval=cfg.consensus_interval,
+        range_=cfg.consensus_interval_range,
+    )
+
+
+def collect_refinement(packed: PackedBatch, dev, cfg: AudtConfig,
+                       stats: AuditStats | None = None) -> list:
+    """Materialize device results (+ oracle fallback). Returns
     (window, refined) pairs."""
     out = []
-    b = packed.batch
-    B = b.num_windows
-    if B > 0:
-        K = _next_pow2(min(cfg.max_candidates, 8192), 64)
-        refined, counts, overflow = audit_refine_step(
-            b.ops, b.lens, b.pos, b.n_ops, b.window_id,
-            b.kind, b.inter_start, b.inter_end, b.imprecise_pos,
-            num_windows=B, K=K,
-            min_count=cfg.consensus_min_count,
-            interval=cfg.consensus_interval,
-            range_=cfg.consensus_interval_range,
-        )
-        refined = np.asarray(refined)
-        counts = np.asarray(counts)
-        overflow = np.asarray(overflow)
-        for i, w in enumerate(packed.windows):
-            if overflow[i]:
+    if dev is not None:
+        refined, counts, overflow = (np.asarray(x) for x in dev)
+        slots = (packed.window_slots if packed.window_slots is not None
+                 else range(len(packed.windows)))
+        for i, (w, slot) in enumerate(zip(packed.windows, slots)):
+            if overflow[slot]:
                 # Capacity/sweep overflow: exact host fallback.
+                if stats:
+                    stats.oracle_windows += 1
                 r = refine_task(
                     w.kind, packed.reads_per_window[i],
                     w.inter_start, w.inter_end, w.imprecise_pos,
@@ -77,9 +170,11 @@ def run_refinement(packed: PackedBatch, cfg: AudtConfig) -> list:
                     cfg.consensus_interval_range,
                 )
             else:
-                r = int(refined[i])
+                r = int(refined[slot])
             out.append((w, r))
     for w, reads in packed.oracle_windows:
+        if stats:
+            stats.oracle_windows += 1
         r = refine_task(
             w.kind, reads, w.inter_start, w.inter_end, w.imprecise_pos,
             cfg.consensus_min_count, cfg.consensus_interval,
@@ -89,11 +184,50 @@ def run_refinement(packed: PackedBatch, cfg: AudtConfig) -> list:
     return out
 
 
+def run_refinement(packed: PackedBatch, cfg: AudtConfig) -> list:
+    """Run one packed batch on device (+ oracle fallback). Returns
+    (window, refined) pairs."""
+    return collect_refinement(packed, dispatch_refinement(packed, cfg), cfg)
+
+
+def _shard_and_resume_tasks(tasks, cfg, err):
+    """Apply record-level sharding (--num-shards/--shard-index, the
+    multi-host analog of interval sharding) and --resume (skip records
+    whose result lines already exist in the output file)."""
+    num_shards = getattr(cfg, "num_shards", 1) or 1
+    if num_shards > 1:
+        idx = getattr(cfg, "shard_index", 0)
+        tasks = [t for i, t in enumerate(tasks) if i % num_shards == idx]
+    if getattr(cfg, "resume", False) and cfg.output_file and \
+            os.path.exists(cfg.output_file):
+        with open(cfg.output_file) as fh:
+            n_done = sum(1 for line in fh if line.strip())
+        if n_done:
+            kept, skipped = [], 0
+            for t in tasks:
+                if skipped < n_done:
+                    _, emit = windows_for_task(t, cfg)
+                    if emit:
+                        skipped += 1
+                    continue
+                kept.append(t)
+            print(
+                f"[INFO] Resume: {n_done} result line(s) already in "
+                f"{cfg.output_file}; skipping to record "
+                f"{kept[0].line_index if kept else '<end>'}.",
+                file=err,
+            )
+            tasks = kept
+    return tasks
+
+
 def run_audit(cfg: AudtConfig, out=None, err=None) -> list[str]:
     """Full audt pipeline. Returns the result lines (also written to
     ``out``/output_file)."""
     out = out or sys.stdout
     err = err or sys.stderr
+    stats = AuditStats()
+    t_start = time.perf_counter()
 
     from ..io.bam import BamReader
     from ..native import native_bam_reader
@@ -111,6 +245,7 @@ def run_audit(cfg: AudtConfig, out=None, err=None) -> list[str]:
 
     print("[INFO] Started processing variation file.", file=out)
 
+    t0 = time.perf_counter()
     tasks: list[VcfTask] = []
     results: dict[int, AuditResult] = {}
     with open(cfg.vcf_file, "r") as fh:
@@ -120,29 +255,95 @@ def run_audit(cfg: AudtConfig, out=None, err=None) -> list[str]:
                     print(item.message, file=err)
                 continue
             tasks.append(item)
+    tasks = _shard_and_resume_tasks(tasks, cfg, err)
+    stats.records = len(tasks)
 
     all_windows = []
     for t in tasks:
         wins, emit = windows_for_task(t, cfg)
         results[t.line_index] = AuditResult(t, emit=emit)
         all_windows.extend(wins)
+    stats.windows = len(all_windows)
+    stats.parse_s = time.perf_counter() - t0
 
-    for packed in pack_batches(all_windows, fetch, cfg):
-        for w, refined in run_refinement(packed, cfg):
+    n_shards = resolve_data_shards(cfg)
+    stats.data_shards = n_shards
+
+    # Bounded batch queue: producer = fetch+pack thread (the reference's
+    # line queue, audit.c:13-48, with tload_factor × capacity semantics);
+    # consumer = this thread, keeping one device batch in flight.
+    q: queue.Queue = queue.Queue(maxsize=max(2, cfg.tload_factor))
+
+    def producer():
+        try:
+            t_p = time.perf_counter()
+            for pb in pack_batches(all_windows, fetch, cfg,
+                                   n_shards=n_shards):
+                stats.pack_s += time.perf_counter() - t_p
+                q.put(pb)
+                t_p = time.perf_counter()
+            stats.pack_s += time.perf_counter() - t_p
+        except BaseException as e:  # surfaced in the consumer loop
+            q.put(e)
+            return
+        q.put(None)
+
+    prod = threading.Thread(target=producer, daemon=True,
+                            name="svtrek-pack-producer")
+    prod.start()
+
+    def apply(pairs):
+        for w, refined in pairs:
             res = results[w.record_index]
             if w.slot == 0:
                 res.rstart = C.u32(refined)
             else:
                 res.rend = C.u32(refined)
 
+    in_flight: tuple[PackedBatch, object] | None = None
+    while True:
+        packed = q.get()
+        if isinstance(packed, BaseException):
+            raise packed
+        if packed is None:
+            break
+        dev = dispatch_refinement(packed, cfg)  # async: device starts now
+        if in_flight is not None:
+            t0 = time.perf_counter()
+            apply(collect_refinement(*in_flight, cfg, stats))
+            stats.device_s += time.perf_counter() - t0
+        in_flight = (packed, dev)
+        stats.batches += 1
+        stats.reads += packed.batch.num_reads
+    if in_flight is not None:
+        t0 = time.perf_counter()
+        apply(collect_refinement(*in_flight, cfg, stats))
+        stats.device_s += time.perf_counter() - t0
+    prod.join()
+
+    t0 = time.perf_counter()
     lines = []
-    for t in tasks:
-        res = results[t.line_index]
-        if not res.emit:
-            continue
-        line = res.line()
-        lines.append(line)
-        print(line, file=out)
+    # CLI runs stream result lines into the output file as they are
+    # finalized (append in resume mode), so an interrupted whole-genome
+    # run can pick up where it left off.
+    file_out = None
+    if cfg.output_file and out is sys.stdout:
+        file_out = open(cfg.output_file,
+                        "a" if getattr(cfg, "resume", False) else "w")
+    try:
+        for t in tasks:
+            res = results[t.line_index]
+            if not res.emit:
+                continue
+            line = res.line()
+            lines.append(line)
+            print(line, file=out)
+            if file_out is not None:
+                file_out.write(line + "\n")
+    finally:
+        if file_out is not None:
+            file_out.close()
+    stats.emit_s = time.perf_counter() - t0
 
     print("[INFO] Ended processing variation file", file=out)
 
@@ -159,7 +360,7 @@ def run_audit(cfg: AudtConfig, out=None, err=None) -> list[str]:
             },
         )
 
-    if cfg.output_file and out is sys.stdout:
-        with open(cfg.output_file, "w") as fh:
-            fh.write("\n".join(lines) + ("\n" if lines else ""))
+    stats.total_s = time.perf_counter() - t_start
+    if cfg.verbose:
+        stats.report(err)
     return lines

@@ -56,6 +56,12 @@ class PackedBatch:
     windows: list[WindowSpec]
     reads_per_window: list[list[tuple[int, list[tuple[int, int]]]]]
     oracle_windows: list[tuple[WindowSpec, list]] = field(default_factory=list)
+    # Multi-device layout: number of mesh shards the batch was packed for
+    # (1 = dense single-device layout) and, when > 1, the global result
+    # slot of each entry in `windows` (the batch is shard-blockwise padded,
+    # so slots are not the identity).
+    n_shards: int = 1
+    window_slots: list[int] | None = None
 
 
 def windows_for_task(task: VcfTask, cfg) -> tuple[list[WindowSpec], bool]:
@@ -139,11 +145,15 @@ def pack_batches(
     windows: Iterable[WindowSpec],
     fetch: Callable[[int, int, int], list],
     cfg,
+    n_shards: int = 1,
 ) -> Iterable[PackedBatch]:
     """Fetch reads for each window and pack fixed-shape batches.
 
     ``fetch(tid, beg, end)`` returns [(pos, [(op, len), ...]), ...].
     Yields PackedBatch objects sized (B=cfg.batch_windows) windows.
+    With ``n_shards > 1`` batches are laid out shard-blockwise for
+    `parallel.mesh.sharded_audit_step` (read-balanced bins, shard-local
+    window ids).
     """
     pending: list[tuple[WindowSpec, list]] = []
 
@@ -151,7 +161,10 @@ def pack_batches(
         nonlocal pending
         if not pending:
             return None
-        pb = _pack_one(pending, cfg)
+        if n_shards > 1:
+            pb = _pack_one_sharded(pending, cfg, n_shards)
+        else:
+            pb = _pack_one(pending, cfg)
         pending = []
         return pb
 
@@ -228,4 +241,97 @@ def _pack_one(items: list[tuple[WindowSpec, list]], cfg) -> PackedBatch:
         windows=[w for w, _ in device_items],
         reads_per_window=reads_per_window,
         oracle_windows=oracle_items,
+    )
+
+
+def _pack_one_sharded(
+    items: list[tuple[WindowSpec, list]], cfg, n_shards: int
+) -> PackedBatch:
+    """Shard-blockwise packing for the multi-device audit step.
+
+    The reference balances work by handing whole VCF records to whichever
+    pthread pops the queue next (audit.c:57); here the packer *plans* the
+    balance up front: windows are greedily binned by descending read count
+    so every mesh shard gets near-equal evidence to chew on (SURVEY.md §7
+    design translation 5 — sharding at record granularity keeps the step
+    collective-free).  Layout contract of `sharded_audit_step`: both axes
+    divisible by n_shards, window_id shard-local, padding reads use the
+    local sentinel B_local.
+    """
+    device_items = []
+    oracle_items = []
+    for w, reads in items:
+        if any(len(cig) > MAX_OPS_BUCKET for _, cig in reads):
+            oracle_items.append((w, reads))
+        else:
+            device_items.append((w, reads))
+
+    bins: list[list[int]] = [[] for _ in range(n_shards)]
+    bin_reads = [0] * n_shards
+    order = sorted(
+        range(len(device_items)), key=lambda i: -len(device_items[i][1])
+    )
+    for i in order:
+        s = min(range(n_shards), key=lambda j: (bin_reads[j], len(bins[j])))
+        bins[s].append(i)
+        bin_reads[s] += len(device_items[i][1])
+
+    b_loc = max(1, max((len(b) for b in bins), default=1))
+    n_loc = max(1, max(bin_reads, default=1))
+    B = n_shards * b_loc
+    N = n_shards * n_loc
+
+    max_ops = 1
+    for _, reads in device_items:
+        for _, cig in reads:
+            max_ops = max(max_ops, len(cig))
+    O = _bucket(max_ops, OPS_BUCKETS)
+
+    ops = np.full((N, O), 9, np.int8)
+    lens = np.zeros((N, O), np.int32)
+    pos = np.zeros(N, np.int32)
+    n_ops = np.zeros(N, np.int32)
+    wid = np.full(N, b_loc, np.int32)       # shard-local padding sentinel
+    kind = np.full(B, KIND_POINT, np.int32)  # padding windows collect nothing
+    istart = np.zeros(B, np.int32)
+    iend = np.zeros(B, np.int32)
+    ipos = np.zeros(B, np.int32)
+
+    windows_out: list[WindowSpec] = []
+    window_slots: list[int] = []
+    reads_per_window = []
+    for s, bin_idx in enumerate(bins):
+        r = s * n_loc
+        for k, i in enumerate(bin_idx):
+            w, reads = device_items[i]
+            g = s * b_loc + k
+            kind[g] = w.kind
+            istart[g] = np.int64(w.inter_start).astype(np.int32)
+            iend[g] = np.int64(w.inter_end).astype(np.int32)
+            ipos[g] = np.int64(w.imprecise_pos).astype(np.int32)
+            for rp, cig in reads:
+                nk = len(cig)
+                if nk:
+                    arr = np.asarray(cig, np.int64)
+                    ops[r, :nk] = arr[:, 0].astype(np.int8)
+                    lens[r, :nk] = arr[:, 1].astype(np.int32)
+                pos[r] = rp
+                n_ops[r] = nk
+                wid[r] = k
+                r += 1
+            windows_out.append(w)
+            window_slots.append(g)
+            reads_per_window.append(reads)
+
+    batch = AuditBatch(
+        ops=ops, lens=lens, pos=pos, n_ops=n_ops, window_id=wid,
+        kind=kind, inter_start=istart, inter_end=iend, imprecise_pos=ipos,
+    )
+    return PackedBatch(
+        batch=batch,
+        windows=windows_out,
+        reads_per_window=reads_per_window,
+        oracle_windows=oracle_items,
+        n_shards=n_shards,
+        window_slots=window_slots,
     )
