@@ -31,7 +31,8 @@ os.environ.setdefault(
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
-B = 1024            # windows per batch
+B = 8192            # windows per batch (dispatch-overhead-amortizing; the
+                    # step itself is ~30 µs flat from 1k to 16k windows)
 READS_PER_WIN = 24  # supporting + noise reads per window
 O = 128             # padded CIGAR ops per read
 K = 64              # candidate capacity per window (overflow → host fallback)
@@ -40,60 +41,68 @@ REF_THREADS = 4     # reference default thread count (params.h:36)
 
 
 def make_workload(seed=0):
+    """Synthetic refine windows, vectorized (the scalar loop version took
+    minutes at B=8192).  Same shape as before: per read an optional
+    leading soft-clip, a lead M to near the breakpoint, one >50 bp SV op
+    on the 10 supporting reads, then sub-threshold noise ops and an
+    optional trailing soft-clip."""
     rng = np.random.default_rng(seed)
     N = B * READS_PER_WIN
-    ops = np.full((N, O), 9, np.int8)
-    lens = np.zeros((N, O), np.int32)
-    pos = np.zeros(N, np.int64)
-    n_ops = np.zeros(N, np.int32)
-    wid = np.zeros(N, np.int32)
-    kind = np.zeros(B, np.int32)
-    istart = np.zeros(B, np.int64)
-    iend = np.zeros(B, np.int64)
-    ipos = np.zeros(B, np.int64)
+    cols = np.arange(O, dtype=np.int32)[None, :]
 
-    r = 0
-    for b in range(B):
-        base = int(rng.integers(100_000, 50_000_000))
-        kind[b] = int(rng.integers(0, 3))  # DEL_START / DEL_END / INS
-        istart[b] = base - 2000
-        iend[b] = base + 2000
-        ipos[b] = base + int(rng.integers(-40, 40))
-        for j in range(READS_PER_WIN):
-            start = base - int(rng.integers(1_000, 12_000))
-            cig = []
-            if rng.random() < 0.3:
-                cig.append((4, int(rng.integers(20, 300))))
-            lead = base - start + int(rng.integers(-3, 4))
-            cig.append((0, max(lead, 1)))
-            if j < 10:  # supporting reads
-                svop = 1 if kind[b] == 2 else 2
-                cig.append((svop, int(rng.integers(55, 90))))
-            # noisy mid ops
-            for _ in range(int(rng.integers(8, O - 12))):
-                t = rng.integers(0, 4)
-                if t == 0:
-                    cig.append((0, int(rng.integers(1, 300))))
-                elif t == 1:
-                    cig.append((1, int(rng.integers(1, 45))))
-                elif t == 2:
-                    cig.append((2, int(rng.integers(1, 45))))
-                else:
-                    cig.append((0, int(rng.integers(1, 50))))
-                if len(cig) >= O - 1:
-                    break
-            if rng.random() < 0.3:
-                cig.append((4, int(rng.integers(20, 300))))
-            cig = cig[:O]
-            arr = np.asarray(cig, np.int64)
-            ops[r, : len(cig)] = arr[:, 0]
-            lens[r, : len(cig)] = arr[:, 1].astype(np.int32)
-            pos[r] = start
-            n_ops[r] = len(cig)
-            wid[r] = b
-            r += 1
-    return ops, lens, pos, n_ops, wid, kind, istart, iend, ipos
+    base = rng.integers(100_000, 50_000_000, B)
+    kind = rng.integers(0, 3, B).astype(np.int32)
+    istart = base - 2000
+    iend = base + 2000
+    ipos = base + rng.integers(-40, 40, B)
 
+    base_r = np.repeat(base, READS_PER_WIN)
+    kind_r = np.repeat(kind, READS_PER_WIN)
+    start = base_r - rng.integers(1_000, 12_000, N)
+    j = np.tile(np.arange(READS_PER_WIN), B)
+    has_lead_s = rng.random(N) < 0.3
+    has_trail_s = rng.random(N) < 0.3
+    has_sv = j < 10
+
+    # Noise body: ops in {M, I, D} with sub-threshold lengths.
+    t = rng.integers(0, 4, (N, O))
+    noise_ops = np.where(t == 1, 1, np.where(t == 2, 2, 0)).astype(np.int8)
+    noise_lens = np.where(
+        t == 1, rng.integers(1, 45, (N, O)),
+        np.where(t == 2, rng.integers(1, 45, (N, O)),
+                 np.where(t == 0, rng.integers(1, 300, (N, O)),
+                          rng.integers(1, 50, (N, O))))).astype(np.int32)
+    n_noise = rng.integers(8, O - 12, N).astype(np.int32)
+
+    lead_col = has_lead_s.astype(np.int32)           # M lead position
+    sv_col = lead_col + 1                             # SV op (supporting reads)
+    noise_beg = (lead_col + 1 + has_sv)[:, None]
+    noise_end = np.minimum(noise_beg[:, 0] + n_noise, O - 2)[:, None]
+    in_noise = (cols >= noise_beg) & (cols < noise_end)
+
+    ops = np.where(in_noise, noise_ops, np.int8(9))
+    lens = np.where(in_noise, noise_lens, 0)
+
+    def put(col, op, ln, mask):
+        col = col[:, None]
+        np.put_along_axis(ops, col, np.where(mask, op, np.take_along_axis(
+            ops, col, axis=1)[:, 0])[:, None].astype(np.int8), axis=1)
+        np.put_along_axis(lens, col, np.where(mask, ln, np.take_along_axis(
+            lens, col, axis=1)[:, 0])[:, None].astype(np.int32), axis=1)
+
+    lead_len = np.maximum(base_r - start + rng.integers(-3, 4, N), 1)
+    put(np.zeros(N, np.int32), 4, rng.integers(20, 300, N), has_lead_s)
+    put(lead_col, 0, lead_len, np.ones(N, bool))
+    svop = np.where(kind_r == 2, 1, 2)
+    put(sv_col, svop, rng.integers(55, 90, N), has_sv)
+    put(noise_end[:, 0], 4, rng.integers(20, 300, N), has_trail_s)
+
+    pos = start
+    n_ops = noise_end[:, 0] + has_trail_s
+    wid = np.repeat(np.arange(B, dtype=np.int32), READS_PER_WIN)
+    return (ops, lens, pos.astype(np.int64), n_ops.astype(np.int32), wid,
+            kind, istart.astype(np.int64), iend.astype(np.int64),
+            ipos.astype(np.int64))
 
 def bench_device(work):
     import jax
