@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     audt.add_argument("--resume", action="store_true", default=False,
                       help="[TPU] append to --output, skipping records "
                            "whose result lines are already there")
+    audt.add_argument("--trace-dir", default="",
+                      help="[TPU] write a jax.profiler trace of the "
+                           "batch loop to this directory")
 
     scan = sub.add_parser(
         "scan",
@@ -125,6 +128,7 @@ def main(argv=None) -> int:
             num_shards=args.num_shards,
             shard_index=args.shard_index,
             resume=args.resume,
+            trace_dir=args.trace_dir,
         )
         validate_file(cfg.bam_file, "[ERROR] BAM file is not provided.")
         validate_file(cfg.vcf_file, "[ERROR] VCF file is not provided.")

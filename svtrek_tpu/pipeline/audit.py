@@ -292,6 +292,17 @@ def run_audit(cfg: AudtConfig, out=None, err=None) -> list[str]:
                             name="svtrek-pack-producer")
     prod.start()
 
+    # jax.profiler trace of the batch loop (SURVEY.md §5 'tracing':
+    # the reference has none; --verbose + this make it real).
+    trace_dir = getattr(cfg, "trace_dir", "") or \
+        os.environ.get("SVTREK_TPU_TRACE_DIR", "")
+    trace_ctx = None
+    if trace_dir:
+        import jax.profiler
+
+        trace_ctx = jax.profiler.trace(trace_dir)
+        trace_ctx.__enter__()
+
     def apply(pairs):
         for w, refined in pairs:
             res = results[w.record_index]
@@ -319,6 +330,9 @@ def run_audit(cfg: AudtConfig, out=None, err=None) -> list[str]:
         t0 = time.perf_counter()
         apply(collect_refinement(*in_flight, cfg, stats))
         stats.device_s += time.perf_counter() - t0
+    if trace_ctx is not None:
+        trace_ctx.__exit__(None, None, None)
+        print(f"[INFO] Wrote jax.profiler trace to {trace_dir}", file=err)
     prod.join()
 
     t0 = time.perf_counter()
