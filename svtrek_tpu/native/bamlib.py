@@ -39,6 +39,20 @@ def load_library():
         fn.argtypes = [ct.c_void_p]
     lib.svbam_total_ops.restype = ct.c_int64
     lib.svbam_total_ops.argtypes = [ct.c_void_p]
+    lib.svbam_fetch_batch.restype = ct.c_int64
+    lib.svbam_fetch_batch.argtypes = [
+        ct.c_void_p, ct.c_int32, ct.POINTER(ct.c_int32),
+        ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
+        ct.POINTER(ct.c_int64),
+    ]
+    lib.svbam_fill.restype = None
+    lib.svbam_fill.argtypes = [
+        ct.c_void_p, ct.POINTER(ct.c_int32),
+        ct.POINTER(ct.c_int8), ct.POINTER(ct.c_int32),
+        ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+        ct.POINTER(ct.c_int32),
+        ct.c_int64, ct.c_int64, ct.c_int32,
+    ]
     lib.svbaseline_refine.restype = ct.c_int64
     lib.svbaseline_refine.argtypes = [
         ct.c_int32,
@@ -70,6 +84,7 @@ class NativeBamReader:
         if lib is None:
             raise RuntimeError("native library unavailable")
         self._lib = lib
+        self.path = path
         self._h = lib.svbam_open(path.encode())
         if not self._h:
             raise IOError(f"svbam_open failed for {path}")
@@ -100,6 +115,91 @@ class NativeBamReader:
         ops = np.ctypeslib.as_array(self._lib.svbam_ops(self._h), (total,)).copy()
         lens = np.ctypeslib.as_array(self._lib.svbam_oplens(self._h), (total,)).copy()
         return pos, nops, opoff, ops, lens
+
+    def fetch_batch(self, tids, begs, ends):
+        """Fetch many regions with ONE library call (GIL released for
+        the whole batch).  Returns (total_reads, per_window_counts);
+        the handle's internal buffers then hold the concatenated reads
+        until the next fetch — scatter them with fill() and/or snapshot
+        them with batch_columns()."""
+        n = len(tids)
+        tids = np.ascontiguousarray(tids, np.int32)
+        begs = np.ascontiguousarray(begs, np.int64)
+        ends = np.ascontiguousarray(ends, np.int64)
+        counts = np.empty(n, np.int64)
+        total = self._lib.svbam_fetch_batch(
+            self._h, n,
+            tids.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            begs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            ends.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            counts.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        )
+        return int(total), counts
+
+    def batch_flat_n(self, n_reads: int):
+        """Fast snapshot of the last fetch as flat CSR columns:
+        (pos i64[R], n_ops i32[R], ops u8[T], lens i32[T]).  The op
+        streams are contiguous in read order (fetch appends), so no
+        per-read offsets are needed."""
+        lib = self._lib
+        if n_reads == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int32),
+                    np.empty(0, np.uint8), np.empty(0, np.int32))
+        total = int(lib.svbam_total_ops(self._h))
+
+        def cp(ptr, n, cty, dt):
+            if n == 0:
+                return np.empty(0, dt)
+            arr = ct.cast(ptr, ct.POINTER(cty * n)).contents
+            return np.frombuffer(arr, dt).copy()
+
+        return (
+            cp(lib.svbam_read_pos(self._h), n_reads, ct.c_int64, np.int64),
+            cp(lib.svbam_read_nops(self._h), n_reads, ct.c_int32, np.int32),
+            cp(lib.svbam_ops(self._h), total, ct.c_uint8, np.uint8),
+            cp(lib.svbam_oplens(self._h), total, ct.c_int32, np.int32),
+        )
+
+    def batch_columns_n(self, n_reads: int):
+        """Snapshot (copy) the columnar buffers of the last fetch:
+        (pos i64[R], n_ops i32[R], opoff i64[R], ops u8[T], lens i32[T])."""
+        lib = self._lib
+        total = lib.svbam_total_ops(self._h)
+        if n_reads == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int32),
+                    np.empty(0, np.int64), np.empty(0, np.uint8),
+                    np.empty(0, np.int32))
+        pos = np.ctypeslib.as_array(lib.svbam_read_pos(self._h), (n_reads,)).copy()
+        nops = np.ctypeslib.as_array(lib.svbam_read_nops(self._h), (n_reads,)).copy()
+        opoff = np.ctypeslib.as_array(lib.svbam_read_opoff(self._h), (n_reads,)).copy()
+        ops = np.ctypeslib.as_array(lib.svbam_ops(self._h), (total,)).copy()
+        lens = np.ctypeslib.as_array(lib.svbam_oplens(self._h), (total,)).copy()
+        return pos, nops, opoff, ops, lens
+
+    def max_nops(self, n_reads: int) -> int:
+        if n_reads == 0:
+            return 0
+        v = np.ctypeslib.as_array(
+            self._lib.svbam_read_nops(self._h), (n_reads,)
+        )
+        return int(v.max())
+
+    def fill(self, wid_of_read, ops_mat, lens_mat, pos, n_ops, wid,
+             pad_wid: int):
+        """Scatter the last fetch into the caller-allocated device
+        matrices (C fills all padding; arrays must be C-contiguous)."""
+        N, O = ops_mat.shape
+        self._lib.svbam_fill(
+            self._h,
+            np.ascontiguousarray(wid_of_read, np.int32).ctypes.data_as(
+                ct.POINTER(ct.c_int32)),
+            ops_mat.ctypes.data_as(ct.POINTER(ct.c_int8)),
+            lens_mat.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            pos.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            n_ops.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            wid.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            N, O, pad_wid,
+        )
 
     def fetch(self, tid: int, beg: int, end: int):
         pos, nops, opoff, ops, lens = self.fetch_packed(tid, beg, end)

@@ -225,6 +225,9 @@ typedef struct {
     vec_t lens;     /* int32 flattened */
     uint8_t *rec;   /* record scratch */
     size_t rec_cap;
+    /* per-handle bin scratch: handles are used from multiple threads
+       (one handle per producer thread), so no function-static state */
+    uint32_t binbuf[40960];
 } svbam_t;
 
 static int32_t rd_i32(const uint8_t *p) { int32_t v; memcpy(&v, p, 4); return v; }
@@ -291,9 +294,8 @@ int32_t svbam_nref(void *h) { return ((svbam_t *)h)->n_ref; }
  * next fetch.  Semantics identical to the htslib iterator: linear-index
  * lower bound, file-order scan, overlap test pos < end && endpos > beg,
  * stop at pos >= end. */
-int64_t svbam_fetch(void *h, int32_t tid, int64_t beg, int64_t end) {
-    svbam_t *b = h;
-    b->pos.len = b->nops.len = b->opoff.len = b->ops.len = b->lens.len = 0;
+static int64_t fetch_into(svbam_t *b, int32_t tid, int64_t beg, int64_t end) {
+    size_t reads_before = b->pos.len;
     if (!b->has_idx || tid < 0 || tid >= b->n_ref) return 0;
     if (beg < 0) beg = 0;
     if (beg >= end) return 0;
@@ -308,7 +310,7 @@ int64_t svbam_fetch(void *h, int32_t tid, int64_t beg, int64_t end) {
         }
     }
 
-    static uint32_t binbuf[40960];
+    uint32_t *binbuf = b->binbuf;
     int nb = overlap_bins(beg, end, binbuf);
     vec_t chunks; vec_init(&chunks, sizeof(chunk_t));
     for (int i = 0; i < nb; i++) {
@@ -376,7 +378,67 @@ int64_t svbam_fetch(void *h, int32_t tid, int64_t beg, int64_t end) {
     }
 done:
     vec_free(&chunks);
+    return (int64_t)(b->pos.len - reads_before);
+}
+
+int64_t svbam_fetch(void *h, int32_t tid, int64_t beg, int64_t end) {
+    svbam_t *b = h;
+    b->pos.len = b->nops.len = b->opoff.len = b->ops.len = b->lens.len = 0;
+    return fetch_into(b, tid, beg, end);
+}
+
+/* Fetch many regions in one call (one window batch): reads of window i
+ * land consecutively, win_counts[i] reads each.  Buffers valid until the
+ * next fetch on this handle.  tids[i] < 0 → empty window (skipped I/O,
+ * e.g. the refine_point no-op windows).  Returns total reads. */
+int64_t svbam_fetch_batch(void *h, int32_t n, const int32_t *tids,
+                          const int64_t *begs, const int64_t *ends,
+                          int64_t *win_counts) {
+    svbam_t *b = h;
+    b->pos.len = b->nops.len = b->opoff.len = b->ops.len = b->lens.len = 0;
+    for (int32_t i = 0; i < n; i++)
+        win_counts[i] = fetch_into(b, tids[i], begs[i], ends[i]);
     return (int64_t)b->pos.len;
+}
+
+/* Scatter the last fetch into fixed-shape device matrices:
+ *   ops_mat  [N,O] int8, lens_mat [N,O] int32
+ *   pos/nops/wid [N] int32 (pad rows: pos=0, nops=0, wid=pad_wid)
+ * Read r of the fetch goes to row r with window id wid_of_read[r].
+ * Cells outside [r < R, k < nops[r]] are left UNINITIALIZED — the
+ * device kernel (ops/cigar.py) masks every access by n_ops, so padding
+ * bytes are never observed and the memset bandwidth is saved.
+ * Reads/ops beyond N/O are the caller's bug (it sized the matrices from
+ * this fetch's totals); lengths are clamped defensively anyway. */
+void svbam_fill(void *h, const int32_t *wid_of_read,
+                int8_t *ops_mat, int32_t *lens_mat,
+                int32_t *pos_out, int32_t *nops_out, int32_t *wid_out,
+                int64_t N, int64_t O, int32_t pad_wid) {
+    svbam_t *b = h;
+    int64_t R = (int64_t)b->pos.len;
+    if (R > N) R = N;
+    const int64_t *pos = b->pos.data;
+    const int32_t *nops = b->nops.data;
+    const int64_t *opoff = b->opoff.data;
+    const uint8_t *ops = b->ops.data;
+    const int32_t *lens = b->lens.data;
+    for (int64_t r = 0; r < R; r++) {
+        int64_t n = nops[r];
+        if (n > O) n = O;
+        int64_t src = opoff[r];
+        int8_t *od = ops_mat + r * O;
+        int32_t *ld = lens_mat + r * O;
+        for (int64_t k = 0; k < n; k++) od[k] = (int8_t)ops[src + k];
+        memcpy(ld, lens + src, (size_t)n * sizeof(int32_t));
+        pos_out[r] = (int32_t)pos[r];
+        nops_out[r] = (int32_t)n;
+        wid_out[r] = wid_of_read[r];
+    }
+    for (int64_t r = R; r < N; r++) {
+        pos_out[r] = 0;
+        nops_out[r] = 0;
+        wid_out[r] = pad_wid;
+    }
 }
 
 const int64_t *svbam_read_pos(void *h)  { return ((svbam_t *)h)->pos.data; }

@@ -99,3 +99,100 @@ def audit_refine_step(
     )
     overflow = sweep_ovf | read_ovf | (counts > K)
     return refined, counts, overflow
+
+
+@dataclasses.dataclass
+class AuditBatchCSR:
+    """Flat (CSR) layout of a packed batch: the host ships only the real
+    CIGAR ops — about half the bytes of the padded [N, O] matrices — and
+    the device scatters them into the padded layout itself (HBM is much
+    closer than the host link).
+
+    flat ops axis T: ops_flat [T] uint8, lens_flat [T] int32 (tail beyond
+    sum(n_ops) is unobserved garbage)
+    reads axis N: pos/n_ops/window_id [N] (padding rows: n_ops == 0,
+    window_id == B)
+    window axis B: kind/inter_start/inter_end/imprecise_pos [B]
+    """
+
+    ops_flat: np.ndarray
+    lens_flat: np.ndarray
+    pos: np.ndarray
+    n_ops: np.ndarray
+    window_id: np.ndarray
+    kind: np.ndarray
+    inter_start: np.ndarray
+    inter_end: np.ndarray
+    imprecise_pos: np.ndarray
+    ops_width: int              # O bucket for the device-side layout
+
+    @property
+    def num_reads(self) -> int:
+        return int(self.pos.shape[0])
+
+    @property
+    def num_windows(self) -> int:
+        return int(self.kind.shape[0])
+
+
+@functools.partial(jax.jit, static_argnames=("O",))
+def csr_to_padded(
+    ops_flat: jnp.ndarray,   # [T] uint8/int8
+    lens_flat: jnp.ndarray,  # [T] int32
+    n_ops: jnp.ndarray,      # [N] int32 (sum == true op count ≤ T)
+    *,
+    O: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Materialize the padded [N, O] op/len matrices on device.
+
+    Unwritten cells stay zero (op 0 = M with len 0: consumes nothing and
+    matches no evidence mask) — and the audit kernel masks by n_ops
+    anyway, so only the scatter's own bytes matter."""
+    T = ops_flat.shape[0]
+    N = n_ops.shape[0]
+    starts = jnp.cumsum(n_ops) - n_ops                    # [N] exclusive
+    total = starts[-1] + n_ops[-1]
+    row = jnp.repeat(jnp.arange(N, dtype=jnp.int32), n_ops,
+                     total_repeat_length=T)
+    col = jnp.arange(T, dtype=jnp.int32) - jnp.take(starts, row)
+    valid = (jnp.arange(T, dtype=jnp.int32) < total) & (col < O)
+    idx = jnp.where(valid, row * O + col, N * O)
+    ops = jnp.zeros((N * O,), jnp.int8).at[idx].set(
+        ops_flat.astype(jnp.int8), mode="drop").reshape(N, O)
+    lens = jnp.zeros((N * O,), jnp.int32).at[idx].set(
+        lens_flat, mode="drop").reshape(N, O)
+    return ops, lens
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_windows", "K", "O",
+                     "min_count", "interval", "range_"),
+)
+def audit_refine_step_csr(
+    ops_flat: jnp.ndarray,
+    lens_flat: jnp.ndarray,
+    pos: jnp.ndarray,
+    n_ops: jnp.ndarray,
+    window_id: jnp.ndarray,
+    kind: jnp.ndarray,
+    inter_start: jnp.ndarray,
+    inter_end: jnp.ndarray,
+    imprecise_pos: jnp.ndarray,
+    *,
+    num_windows: int,
+    K: int,
+    O: int,
+    min_count: int = C.CONSENSUS_MIN_COUNT,
+    interval: int = C.CONSENSUS_INTERVAL,
+    range_: int = C.CONSENSUS_INTERVAL_RANGE,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """audit_refine_step, but fed the flat CSR layout (host ships ~half
+    the bytes; the padded matrices are built in HBM)."""
+    ops, lens = csr_to_padded(ops_flat, lens_flat, n_ops, O=O)
+    return audit_refine_step(
+        ops, lens, pos, n_ops, window_id,
+        kind, inter_start, inter_end, imprecise_pos,
+        num_windows=num_windows, K=K,
+        min_count=min_count, interval=interval, range_=range_,
+    )

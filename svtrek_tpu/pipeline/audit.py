@@ -39,7 +39,10 @@ from ..emit import format_result
 from ..io.vcf import VcfSkip, VcfTask, iter_vcf_tasks
 from ..oracle import refine_task
 from ..ops.audit_step import audit_refine_step
-from .pack import PackedBatch, pack_batches, windows_for_task
+from .pack import (
+    PackedBatch, PackedReads, as_read_list, pack_chunk, pack_chunk_native,
+    windows_for_task,
+)
 
 NA32 = 0xFFFFFFFF
 
@@ -64,7 +67,7 @@ class AuditStats:
     the reference parses the flag and never reads it, SURVEY.md §5)."""
 
     parse_s: float = 0.0
-    pack_s: float = 0.0      # producer thread: BAM fetch + packing
+    pack_s: float = 0.0      # producer pool: BAM fetch + packing (aggregate worker-seconds)
     device_s: float = 0.0    # blocked on device results
     emit_s: float = 0.0
     total_s: float = 0.0
@@ -127,10 +130,21 @@ def resolve_data_shards(cfg) -> int:
 def dispatch_refinement(packed: PackedBatch, cfg: AudtConfig):
     """Launch the device step for one packed batch (async dispatch);
     returns the un-materialized device arrays, or None for empty."""
+    from ..ops.audit_step import AuditBatchCSR, audit_refine_step_csr
+
     b = packed.batch
     if b.num_windows == 0:
         return None
     K = _next_pow2(min(cfg.max_candidates, 8192), 64)
+    if isinstance(b, AuditBatchCSR):
+        return audit_refine_step_csr(
+            b.ops_flat, b.lens_flat, b.pos, b.n_ops, b.window_id,
+            b.kind, b.inter_start, b.inter_end, b.imprecise_pos,
+            num_windows=b.num_windows, K=K, O=b.ops_width,
+            min_count=cfg.consensus_min_count,
+            interval=cfg.consensus_interval,
+            range_=cfg.consensus_interval_range,
+        )
     if packed.n_shards > 1:
         step = _get_sharded_step(
             packed.n_shards, b.num_windows, K,
@@ -164,7 +178,7 @@ def collect_refinement(packed: PackedBatch, dev, cfg: AudtConfig,
                 if stats:
                     stats.oracle_windows += 1
                 r = refine_task(
-                    w.kind, packed.reads_per_window[i],
+                    w.kind, as_read_list(packed.reads_per_window[i]),
                     w.inter_start, w.inter_end, w.imprecise_pos,
                     cfg.consensus_min_count, cfg.consensus_interval,
                     cfg.consensus_interval_range,
@@ -232,16 +246,34 @@ def run_audit(cfg: AudtConfig, out=None, err=None) -> list[str]:
     from ..io.bam import BamReader
     from ..native import native_bam_reader
 
-    reader = None
-    if cfg.use_native_io:
-        reader = native_bam_reader(cfg.bam_file)
-    if reader is None:
-        reader = BamReader(cfg.bam_file)
+    def make_fetch():
+        """One reader (+ fetch closure) per producer thread — the
+        shared-nothing per-thread htslib handle triple of the reference
+        (audit.c:270-272), kept because neither BGZF seek state nor the
+        native fetch buffers are shareable across threads."""
+        reader = None
+        if cfg.use_native_io:
+            reader = native_bam_reader(cfg.bam_file)
+        if reader is None:
+            reader = BamReader(cfg.bam_file)
+        if hasattr(reader, "fetch_packed"):
+            # Native reader fast path: columnar arrays straight into the
+            # vectorized packer — no per-op Python objects.
+            def fetch(tid, beg, end):
+                return PackedReads(
+                    *reader.fetch_packed(tid, int(beg), int(end))
+                )
+        else:
+            def fetch(tid, beg, end):
+                return [
+                    (rec.pos, rec.cigar)
+                    for rec in reader.fetch(tid, int(beg), int(end))
+                ]
+        fetch._reader = reader  # keep the handle alive with the closure
+        return fetch
 
-    def fetch(tid, beg, end):
-        return [
-            (rec.pos, rec.cigar) for rec in reader.fetch(tid, int(beg), int(end))
-        ]
+    # Fail fast (bad BAM path) before spinning up the pool.
+    make_fetch()
 
     print("[INFO] Started processing variation file.", file=out)
 
@@ -269,20 +301,58 @@ def run_audit(cfg: AudtConfig, out=None, err=None) -> list[str]:
     n_shards = resolve_data_shards(cfg)
     stats.data_shards = n_shards
 
-    # Bounded batch queue: producer = fetch+pack thread (the reference's
-    # line queue, audit.c:13-48, with tload_factor × capacity semantics);
-    # consumer = this thread, keeping one device batch in flight.
+    # Bounded batch queue: the reference's producer-consumer line queue
+    # (audit.c:13-48, capacity tload_factor × threads) become a pool of
+    # cfg.thread_number fetch+pack workers — each with a private BAM
+    # handle, shared-nothing like the reference's per-thread htslib
+    # triples — feeding packed device batches, in order, to this thread,
+    # which keeps one device batch in flight (JAX async dispatch).  The
+    # C fetch and the numpy scatters release the GIL, so the workers
+    # genuinely overlap each other and the device.
     q: queue.Queue = queue.Queue(maxsize=max(2, cfg.tload_factor))
+    stats_lock = threading.Lock()
 
     def producer():
+        import itertools
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        tls = threading.local()
+
+        def work(chunk):
+            if not hasattr(tls, "fetch"):
+                tls.fetch = make_fetch()
+            t0 = time.perf_counter()
+            reader = getattr(tls.fetch, "_reader", None)
+            if n_shards == 1 and hasattr(reader, "fetch_batch"):
+                # All-in-C fast path: one fetch call + one scatter call
+                # per chunk, GIL released throughout.
+                pb = pack_chunk_native(chunk, reader, cfg)
+            else:
+                pb = pack_chunk(chunk, tls.fetch, cfg, n_shards=n_shards)
+            dt = time.perf_counter() - t0
+            with stats_lock:
+                stats.pack_s += dt  # aggregate worker-seconds
+            return pb
+
+        bw = cfg.batch_windows
+        chunks = (all_windows[i : i + bw]
+                  for i in range(0, len(all_windows), bw))
+        n_workers = max(1, cfg.thread_number)
         try:
-            t_p = time.perf_counter()
-            for pb in pack_batches(all_windows, fetch, cfg,
-                                   n_shards=n_shards):
-                stats.pack_s += time.perf_counter() - t_p
-                q.put(pb)
-                t_p = time.perf_counter()
-            stats.pack_s += time.perf_counter() - t_p
+            with ThreadPoolExecutor(
+                n_workers, thread_name_prefix="svtrek-pack"
+            ) as ex:
+                pending = deque(
+                    ex.submit(work, c)
+                    for c in itertools.islice(chunks, n_workers + 2)
+                )
+                while pending:
+                    pb = pending.popleft().result()
+                    nxt = next(chunks, None)
+                    if nxt is not None:
+                        pending.append(ex.submit(work, nxt))
+                    q.put(pb)  # blocks when full → bounds work in flight
         except BaseException as e:  # surfaced in the consumer loop
             q.put(e)
             return

@@ -81,3 +81,68 @@ def test_native_refine_matches_oracle(bam_fixture):
             reads = [(r.pos, r.cigar) for r in nrd.fetch(0, istart - 1, iend - 1)]
             want = refine_task(kind, reads, istart, iend, base)
             assert got == want, (kind, base, got, want)
+
+
+def test_native_batch_pack_matches_generic(bam_fixture):
+    """pack_chunk_native (one C fetch_batch + one C fill per chunk) must
+    produce a batch that refines every window identically to the generic
+    per-window path."""
+    from svtrek_tpu.config import AudtConfig
+    from svtrek_tpu.pipeline.audit import run_refinement
+    from svtrek_tpu.pipeline.pack import (
+        PackedReads, WindowSpec, pack_chunk, pack_chunk_native,
+    )
+    from svtrek_tpu.constants import (
+        KIND_DEL_END, KIND_DEL_START, KIND_INS, KIND_POINT,
+    )
+
+    path, recs, chrom_len = bam_fixture
+    nrd = bamlib.NativeBamReader(path)
+    rng = random.Random(21)
+    wins = []
+    kinds = [KIND_DEL_START, KIND_DEL_END, KIND_INS, KIND_POINT]
+    for i in range(37):
+        p = rng.randrange(10_000, chrom_len - 10_000)
+        wins.append(WindowSpec(kinds[i % 4], 1, p - 5000, p + 5000, p, i, 0))
+    # one degenerate wrapped-interval window (empty query path)
+    wins.append(WindowSpec(KIND_DEL_START, 1,
+                           C.u32(0 - 20000), 2000, 1, 99, 0))
+    cfg = AudtConfig(bam_file=path, vcf_file="x", batch_windows=64)
+
+    def fetch(tid, beg, end):
+        return PackedReads(*nrd.fetch_packed(tid, int(beg), int(end)))
+
+    pb_gen = pack_chunk(wins, fetch, cfg, n_shards=1)
+    pb_nat = pack_chunk_native(wins, nrd, cfg)
+    assert pb_nat.batch.num_windows == pb_gen.batch.num_windows
+    got_gen = {(w.record_index, w.slot): r
+               for w, r in run_refinement(pb_gen, cfg)}
+    got_nat = {(w.record_index, w.slot): r
+               for w, r in run_refinement(pb_nat, cfg)}
+    assert got_nat == got_gen and len(got_nat) == len(wins)
+
+
+def test_audit_native_io_matches_python_io(tmp_path):
+    """Full run_audit parity: native batched C I/O vs pure-Python I/O."""
+    import io
+
+    from fixtures import PlantedSV, write_fixture
+    from svtrek_tpu.config import AudtConfig
+    from svtrek_tpu.pipeline.audit import run_audit
+
+    svs = [
+        PlantedSV(1, 60_000, 60_300, "DEL", 300),
+        PlantedSV(1, 140_000, 140_001, "INS", 90),
+        PlantedSV(1, 220_000, 223_000, "INV", 3000),
+        PlantedSV(2, 90_000, 90_120, "DEL", 120),
+    ]
+    bam, vcf = write_fixture(str(tmp_path), svs, {1: 400_000, 2: 200_000},
+                             seed=5)
+    py = run_audit(
+        AudtConfig(bam_file=bam, vcf_file=vcf, use_native_io=False),
+        out=io.StringIO(), err=io.StringIO())
+    nat = run_audit(
+        AudtConfig(bam_file=bam, vcf_file=vcf, use_native_io=True,
+                   batch_windows=4),
+        out=io.StringIO(), err=io.StringIO())
+    assert nat == py

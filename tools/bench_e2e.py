@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""End-to-end `audt` benchmark: VCF records/s through the FULL pipeline
+(VCF parse -> BAM region fetch -> window packing -> device refine ->
+ordered emit), on a synthetic long-read BAM with op-rich CIGARs.
+
+Unlike bench.py (device-kernel throughput on a pre-packed batch), this
+measures the real user-facing number: how fast `svtrek-tpu audt`
+processes a VCF against an indexed BAM, including all host I/O.
+
+Usage: python tools/bench_e2e.py [--records N] [--depth D] [--ops-per-read O]
+Prints one JSON line {"metric": "audt_records_per_sec", ...}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+from svtrek_tpu.constants import CIGAR_D, CIGAR_I, CIGAR_M, CIGAR_S  # noqa: E402
+from svtrek_tpu.io.bam import BamRecord, BamWriter  # noqa: E402
+
+
+def noisy_cigar(rng, n_ops, sv_op=None, sv_len=0, lead=2000):
+    """A long-read-like CIGAR: lead M, optional SV op, then n_ops small
+    M/I/D ops (the indel-rich profile of real ONT/PacBio alignments)."""
+    cig = []
+    if rng.random() < 0.3:
+        cig.append((CIGAR_S, rng.randint(20, 300)))
+    cig.append((CIGAR_M, lead))
+    if sv_op is not None:
+        cig.append((sv_op, sv_len))
+    for _ in range(n_ops):
+        t = rng.random()
+        if t < 0.5:
+            cig.append((CIGAR_M, rng.randint(5, 120)))
+        elif t < 0.75:
+            cig.append((CIGAR_I, rng.randint(1, 40)))
+        else:
+            cig.append((CIGAR_D, rng.randint(1, 40)))
+    if rng.random() < 0.3:
+        cig.append((CIGAR_S, rng.randint(20, 300)))
+    return cig
+
+
+def build_fixture(tmpdir, n_records, depth, ops_per_read, seed=0):
+    rng = random.Random(seed)
+    chrom_len = 120_000_000
+    bam_path = os.path.join(tmpdir, "bench.bam")
+    vcf_path = os.path.join(tmpdir, "bench.vcf")
+
+    svs = []
+    step = chrom_len // (n_records + 2)
+    pos = step
+    for i in range(n_records):
+        svtype = ("DEL", "INS", "INV")[i % 3]
+        svlen = rng.randint(60, 400)
+        svs.append((pos, svtype, svlen))
+        pos += step
+
+    reads = []
+    op_of = {"DEL": CIGAR_D, "INS": CIGAR_I}
+    total_ops = 0
+    for pos, svtype, svlen in svs:
+        for _ in range(depth):
+            start0 = (pos - 1) - rng.randint(2000, 9000)
+            lead = (pos - 1) - start0 + rng.randint(-2, 2)
+            cig = noisy_cigar(rng, ops_per_read, op_of.get(svtype),
+                              svlen, lead=max(lead, 1))
+            reads.append((start0, cig))
+            total_ops += len(cig)
+        # noise reads in the window (no SV op)
+        for _ in range(depth // 2):
+            start0 = (pos - 1) - rng.randint(2000, 9000)
+            cig = noisy_cigar(rng, ops_per_read, None, 0,
+                              lead=rng.randint(1000, 4000))
+            reads.append((start0, cig))
+            total_ops += len(cig)
+
+    reads.sort(key=lambda r: r[0])
+    with BamWriter(bam_path, [("1", chrom_len)]) as w:
+        for i, (start0, cig) in enumerate(reads):
+            qlen = sum(l for op, l in cig if op in (CIGAR_M, CIGAR_I, CIGAR_S))
+            w.write(BamRecord(name=f"r{i}", flag=0, tid=0, pos=start0,
+                              mapq=60, cigar=cig, seq="A" * qlen))
+
+    with open(vcf_path, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        fh.write('##INFO=<ID=SVTYPE,Number=1,Type=String,Description="x">\n')
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for i, (pos, svtype, svlen) in enumerate(svs):
+            end = pos + (svlen if svtype != "INS" else 0)
+            fh.write(f"1\t{pos}\tsv{i}\tN\t<{svtype}>\t.\tPASS\t"
+                     f"SVTYPE={svtype};END={end}\n")
+    return bam_path, vcf_path, len(reads), total_ops
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--records", type=int, default=1500)
+    ap.add_argument("--depth", type=int, default=12)
+    ap.add_argument("--ops-per-read", type=int, default=1500)
+    ap.add_argument("--no-native", action="store_true")
+    ap.add_argument("--keep", action="store_true",
+                    help="reuse fixture dir /tmp/svtrek_e2e_fixture")
+    args = ap.parse_args()
+
+    from svtrek_tpu.config import AudtConfig
+    from svtrek_tpu.pipeline.audit import run_audit
+
+    if args.keep:
+        tmpdir = "/tmp/svtrek_e2e_fixture"
+        os.makedirs(tmpdir, exist_ok=True)
+        ctx = None
+    else:
+        ctx = tempfile.TemporaryDirectory()
+        tmpdir = ctx.name
+
+    tag = f"r{args.records}_d{args.depth}_o{args.ops_per_read}"
+    marker = os.path.join(tmpdir, f"done_{tag}")
+    bam = os.path.join(tmpdir, "bench.bam")
+    vcf = os.path.join(tmpdir, "bench.vcf")
+    if not (args.keep and os.path.exists(marker)):
+        t0 = time.perf_counter()
+        bam, vcf, n_reads, total_ops = build_fixture(
+            tmpdir, args.records, args.depth, args.ops_per_read)
+        print(f"[fixture] {n_reads} reads, {total_ops} ops, "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        if args.keep:
+            open(marker, "w").close()
+
+    cfg = AudtConfig(bam_file=bam, vcf_file=vcf, verbose=True,
+                     use_native_io=not args.no_native)
+
+    # warm-up (compile)
+    import io as _io
+    run_audit(cfg, out=_io.StringIO(), err=sys.stderr)
+
+    t0 = time.perf_counter()
+    lines = run_audit(cfg, out=_io.StringIO(), err=sys.stderr)
+    dt = time.perf_counter() - t0
+    n = len(lines)
+    print(json.dumps({
+        "metric": "audt_records_per_sec",
+        "value": round(n / dt, 1),
+        "unit": "records/s",
+        "records": n,
+        "wall_s": round(dt, 3),
+    }))
+    if ctx is not None:
+        ctx.cleanup()
+
+
+if __name__ == "__main__":
+    main()
