@@ -26,6 +26,11 @@ Quirks intentionally mirrored (see SURVEY.md §3.2):
 - The CIGAR walk breaks out as soon as reference_pos passes the interval
   end; evidence before the break is kept even if it lies left of the
   interval start (no lower-bound check, refinement.c:123-144).
+- ``consensus_pos`` accumulates each cluster total in ``uint64_t``
+  (refinement.c:60,82): negative evidence wraps mod 2^64, the mean is an
+  *unsigned* 64-bit division, and the result truncates to the low 32 bits
+  as a signed int (refinement.c:65,87).  Irrelevant for real BAM positions
+  (always >= 0) but mirrored for golden parity (tests/test_golden_refshim).
 """
 from __future__ import annotations
 
@@ -100,6 +105,11 @@ def consensus_pos(
 
     half = SV_MIN_LENGTH // 2
 
+    def cluster_mean(total_u64: int, count: int) -> int:
+        # uint64 accumulate + unsigned divide + truncate-to-int32
+        # (refinement.c:60-65, 82-87).
+        return C.i32(((total_u64 + count // 2) % (1 << 64)) // count)
+
     best_left = -1
     max_count_left = consensus_min_count - 1
     dist_left = 0x7FFFFFFF
@@ -107,13 +117,13 @@ def consensus_pos(
     i = lower_bound(locs, pos + half)
     while i >= 0 and abs(pos - locs[i]) < consensus_interval_range:
         count = 1
-        total = locs[i]
+        total = locs[i] % (1 << 64)
         j = i - 1
         while j >= 0 and locs[i] <= locs[j] + consensus_interval:
             count += 1
-            total += locs[j]
+            total = (total + locs[j]) % (1 << 64)
             j -= 1
-        candidate = (total + count // 2) // count
+        candidate = cluster_mean(total, count)
         if count > max_count_left:
             if abs(pos - candidate) < consensus_interval:
                 return candidate
@@ -130,13 +140,13 @@ def consensus_pos(
     i = upper_bound(locs, pos - half)
     while i < size and abs(pos - locs[i]) < consensus_interval_range:
         count = 1
-        total = locs[i]
+        total = locs[i] % (1 << 64)
         j = i + 1
         while j < size and locs[j] <= locs[i] + consensus_interval:
             count += 1
-            total += locs[j]
+            total = (total + locs[j]) % (1 << 64)
             j += 1
-        candidate = (total + count // 2) // count
+        candidate = cluster_mean(total, count)
         if count > max_count_right:
             if abs(pos - candidate) < consensus_interval:
                 return candidate

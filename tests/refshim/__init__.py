@@ -1,0 +1,177 @@
+"""ctypes loader for the golden-parity shim.
+
+Compiles the reference's OWN sources (/root/reference/refinement.c,
+utils.c, sliding_window.c — unmodified, read straight from the read-only
+reference tree) together with tests/refshim/shim.c into librefshim.so,
+and exposes typed entry points so the Python oracle
+(svtrek_tpu/oracle/refine.py) is property-tested against the actual
+reference code rather than a re-derivation.
+
+Build is on demand and cached by source mtimes; tests skip cleanly if no
+compiler or no reference tree is present.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REF = os.environ.get("SVTREK_REFERENCE_DIR", "/root/reference")
+_SO = os.path.join(_HERE, "librefshim.so")
+
+_REF_SOURCES = ["refinement.c", "utils.c", "sliding_window.c"]
+
+
+class ShimUnavailable(Exception):
+    pass
+
+
+def _sources():
+    srcs = [os.path.join(_HERE, "shim.c")]
+    for s in _REF_SOURCES:
+        srcs.append(os.path.join(_REF, s))
+    return srcs
+
+
+def _needs_build() -> bool:
+    if not os.path.exists(_SO):
+        return True
+    so_mtime = os.path.getmtime(_SO)
+    return any(os.path.getmtime(s) > so_mtime for s in _sources())
+
+
+def build() -> str:
+    """Compile librefshim.so if stale; returns the .so path."""
+    for s in _sources():
+        if not os.path.exists(s):
+            raise ShimUnavailable(f"missing source {s}")
+    if _needs_build():
+        cmd = [
+            "gcc", "-O2", "-g", "-fPIC", "-shared",
+            "-I" + _HERE, "-I" + _REF,
+            *_sources(),
+            "-o", _SO,
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise ShimUnavailable(f"gcc failed:\n{proc.stderr}")
+    return _SO
+
+
+_lib = None
+
+
+def load() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(build())
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.lower_bound.argtypes = [i32p, ctypes.c_int, ctypes.c_int]
+        lib.lower_bound.restype = ctypes.c_int
+        lib.upper_bound.argtypes = [i32p, ctypes.c_int, ctypes.c_int]
+        lib.upper_bound.restype = ctypes.c_int
+        lib.consensus.argtypes = [i32p, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int]
+        lib.consensus.restype = ctypes.c_int
+        lib.consensus_pos.argtypes = [i32p, ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int]
+        lib.consensus_pos.restype = ctypes.c_int
+        lib.shim_set_reads.argtypes = [
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.shim_set_reads.restype = None
+        lib.shim_refine.argtypes = [ctypes.c_int, ctypes.c_uint32,
+                                    ctypes.c_uint32, ctypes.c_uint32,
+                                    ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.shim_refine.restype = ctypes.c_int
+        lib.shim_sliding_window.argtypes = [ctypes.c_uint32, ctypes.c_uint32,
+                                            ctypes.c_int, ctypes.c_int,
+                                            ctypes.c_int]
+        lib.shim_sliding_window.restype = ctypes.c_int
+        _lib = lib
+    return _lib
+
+
+def _as_i32(arr) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(arr, dtype=np.int32))
+
+
+def ref_lower_bound(arr, location: int) -> int:
+    a = _as_i32(arr)
+    return load().lower_bound(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(a), location)
+
+
+def ref_upper_bound(arr, location: int) -> int:
+    a = _as_i32(arr)
+    return load().upper_bound(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(a), location)
+
+
+def ref_consensus(arr, min_count: int, interval: int) -> int:
+    a = _as_i32(arr).copy()  # reference sorts in place
+    return load().consensus(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(a),
+        min_count, interval)
+
+
+def ref_consensus_pos(locations, pos: int, min_count: int, interval: int,
+                      interval_range: int) -> int:
+    a = _as_i32(locations).copy()  # reference sorts in place
+    return load().consensus_pos(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(a), pos,
+        min_count, interval, interval_range)
+
+
+def set_reads(reads) -> None:
+    """Install the fake BAM store: reads = [(pos, [(op, len), ...]), ...]."""
+    lib = load()
+    n = len(reads)
+    pos = np.zeros(n, dtype=np.int64)
+    n_ops = np.zeros(n, dtype=np.int32)
+    off = np.zeros(n, dtype=np.int64)
+    words = []
+    cur = 0
+    for i, (p, cigar) in enumerate(reads):
+        pos[i] = p
+        n_ops[i] = len(cigar)
+        off[i] = cur
+        cur += len(cigar)
+        for op, ln in cigar:
+            words.append((int(ln) << 4) | int(op))
+    flat = np.asarray(words or [0], dtype=np.uint32)
+    lib.shim_set_reads(
+        n,
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+
+
+# which codes of shim_refine (tests/refshim/shim.c)
+REFINE_DEL_START = 0
+REFINE_DEL_END = 1
+REFINE_POINT_INV = 2
+REFINE_INS = 3
+
+
+def ref_refine(which: int, inter_start: int, inter_end: int,
+               imprecise_pos: int, min_count: int, interval: int,
+               interval_range: int) -> int:
+    return load().shim_refine(which, inter_start, inter_end, imprecise_pos,
+                              min_count, interval, interval_range)
+
+
+def ref_sliding_window(inter_start: int, inter_end: int, min_count: int,
+                       window_size: int, slide_size: int) -> int:
+    return load().shim_sliding_window(inter_start, inter_end, min_count,
+                                      window_size, slide_size)
