@@ -49,6 +49,17 @@ def build_parser() -> argparse.ArgumentParser:
                       help="[TPU] consensus candidate capacity per window")
     audt.add_argument("--no-native-io", action="store_true",
                       help="[TPU] disable the C BAM reader fast path")
+    audt.add_argument("--extract", choices=("auto", "host", "device"),
+                      default="auto",
+                      help="[TPU] evidence-walk placement: host = C walk "
+                      "ships only candidates (default with native IO), "
+                      "device = ship packed CIGARs to the accelerator")
+    audt.add_argument("--cand-width", type=int, default=128,
+                      help="[TPU] host-extract per-window candidate "
+                      "capacity (overflow refines exactly in C)")
+    audt.add_argument("--sweep-width", type=int, default=128,
+                      help="[TPU] consensus sweep anchor budget "
+                      "(overflow falls back exactly to the host)")
     audt.add_argument("--refined-vcf", default="",
                       help="[TPU] write a refined VCF (SVELDT=SUCCESS/"
                            "PARTIAL/INCORRECT) to this path")
@@ -123,6 +134,9 @@ def main(argv=None) -> int:
             batch_windows=args.batch_windows,
             max_candidates=args.max_candidates,
             use_native_io=not args.no_native_io,
+            extract=args.extract,
+            cand_width=args.cand_width,
+            sweep_width=args.sweep_width,
             refined_vcf=args.refined_vcf,
             data_shards=args.data_shards,
             num_shards=args.num_shards,

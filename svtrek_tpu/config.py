@@ -33,6 +33,14 @@ class AudtConfig:
     max_candidates: int = 1024      # consensus candidate cap per window
     max_read_candidates: int = 64   # per-read candidate compaction width
     use_native_io: bool = True      # prefer the C BAM reader when built
+    extract: str = "auto"           # evidence walk placement: "host" (C
+                                    # walk, ship candidates), "device"
+                                    # (ship packed CIGARs), "auto" = host
+                                    # when the native reader is available
+    cand_width: int = 128           # host-extract per-window candidate
+                                    # capacity (overflow → exact C refine)
+    sweep_width: int = 128          # consensus sweep anchor budget
+                                    # (overflow → exact host fallback)
     device: str = ""                # "" = default JAX backend
     refined_vcf: str = ""           # write a refined VCF here (SVELDT status)
     data_shards: int = 0            # mesh shards per batch (0 = all local devices)

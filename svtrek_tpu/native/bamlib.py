@@ -53,6 +53,15 @@ def load_library():
         ct.POINTER(ct.c_int32),
         ct.c_int64, ct.c_int64, ct.c_int32,
     ]
+    lib.svbam_extract_batch.restype = None
+    lib.svbam_extract_batch.argtypes = [
+        ct.c_void_p, ct.c_int32, ct.POINTER(ct.c_int32),
+        ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
+        ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
+        ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32,
+        ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+        ct.POINTER(ct.c_int64),
+    ]
     lib.svbaseline_refine.restype = ct.c_int64
     lib.svbaseline_refine.argtypes = [
         ct.c_int32,
@@ -135,6 +144,40 @@ class NativeBamReader:
             counts.ctypes.data_as(ct.POINTER(ct.c_int64)),
         )
         return int(total), counts
+
+    def extract_batch(self, kinds, istarts, iends, iposs, win_counts,
+                      K: int, min_count: int, interval: int, range_: int):
+        """Host-side evidence extraction over the last fetch_batch.
+
+        Per window: the reference's CIGAR evidence walk
+        (refinement.c:103-325) + ascending sort, done in C.  Returns
+        (locs [n, K] int32 sorted w/ INT32_MAX padding,
+         counts [n] int32 true candidate counts,
+         refined [n] int64 — INT64_MIN where the device should run the
+         consensus; otherwise the already-computed scalar consensus for
+         windows whose candidates overflowed K)."""
+        n = len(kinds)
+        kinds = np.ascontiguousarray(kinds, np.int32)
+        istarts = np.ascontiguousarray(istarts, np.int64)
+        iends = np.ascontiguousarray(iends, np.int64)
+        iposs = np.ascontiguousarray(iposs, np.int64)
+        win_counts = np.ascontiguousarray(win_counts, np.int64)
+        locs = np.empty((n, K), np.int32)
+        counts = np.empty(n, np.int32)
+        refined = np.empty(n, np.int64)
+        self._lib.svbam_extract_batch(
+            self._h, n,
+            kinds.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            istarts.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            iends.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            iposs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            win_counts.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            K, min_count, interval, range_,
+            locs.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            counts.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            refined.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        )
+        return locs, counts, refined
 
     def batch_flat_n(self, n_reads: int):
         """Fast snapshot of the last fetch as flat CSR columns:

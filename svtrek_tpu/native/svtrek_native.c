@@ -47,20 +47,68 @@ static void *vec_push(vec_t *v, size_t n) {
 /* ------------------------------------------------------------------ */
 /* BGZF                                                                 */
 
+/* Decompressed-block cache: region fetches constantly revisit the same
+ * blocks (a DEL's end window usually lies inside its start window, and
+ * long reads span many windows), so caching the inflate output — by far
+ * the dominant fetch cost — turns those into memcpys.  Fully
+ * associative, LRU by stamp; 64 slots x 64 KiB = 4 MiB per handle
+ * (handles are per producer thread, shared-nothing). */
+#define BGZF_CACHE_SLOTS 64
+
+typedef struct {
+    int64_t coffset;       /* compressed offset; -1 = empty slot */
+    int64_t next_coffset;
+    int ulen;
+    int eof;
+    uint32_t stamp;
+    uint8_t ubuf[65536];
+} bgzf_blk_t;
+
 typedef struct {
     FILE *fp;
-    int64_t coffset;       /* compressed offset of loaded block */
-    int64_t next_coffset;
-    uint8_t ubuf[65536];
-    int ulen;
-    int upos;
+    bgzf_blk_t *slots;     /* BGZF_CACHE_SLOTS */
+    bgzf_blk_t *cur;       /* current block (points into slots) */
+    uint32_t tick;
+    int upos;              /* cursor within cur */
 } bgzf_t;
 
+static int bgzf_init(bgzf_t *z) {
+    z->slots = malloc(sizeof(bgzf_blk_t) * BGZF_CACHE_SLOTS);
+    if (!z->slots) return -1;
+    for (int i = 0; i < BGZF_CACHE_SLOTS; i++) z->slots[i].coffset = -1;
+    z->cur = NULL;
+    z->tick = 0;
+    z->upos = 0;
+    return 0;
+}
+
 static int bgzf_load_block(bgzf_t *z, int64_t coffset) {
+    for (int i = 0; i < BGZF_CACHE_SLOTS; i++) {
+        bgzf_blk_t *s = &z->slots[i];
+        if (s->coffset == coffset) {
+            s->stamp = ++z->tick;
+            z->cur = s;
+            z->upos = 0;
+            return s->eof ? 1 : 0;
+        }
+    }
+    bgzf_blk_t *blk = NULL;   /* prefer an empty slot, else evict LRU */
+    for (int i = 0; i < BGZF_CACHE_SLOTS; i++) {
+        bgzf_blk_t *s = &z->slots[i];
+        if (s->coffset == -1) { blk = s; break; }
+        if (!blk || s->stamp < blk->stamp) blk = s;
+    }
+    blk->coffset = -1;        /* invalid until fully loaded */
+
     uint8_t hdr[12];
     if (fseeko(z->fp, coffset, SEEK_SET) != 0) return -1;
     size_t got = fread(hdr, 1, 12, z->fp);
-    if (got == 0) { z->ulen = 0; z->upos = 0; z->coffset = coffset; return 1; } /* EOF */
+    if (got == 0) { /* EOF */
+        blk->ulen = 0; blk->eof = 1; blk->coffset = coffset;
+        blk->next_coffset = coffset; blk->stamp = ++z->tick;
+        z->cur = blk; z->upos = 0;
+        return 1;
+    }
     if (got < 12 || hdr[0] != 0x1f || hdr[1] != 0x8b) return -1;
     int xlen = hdr[10] | (hdr[11] << 8);
     uint8_t extra[4096];
@@ -84,23 +132,26 @@ static int bgzf_load_block(bgzf_t *z, int64_t coffset) {
     z_stream s;
     memset(&s, 0, sizeof(s));
     s.next_in = cbuf; s.avail_in = csize;
-    s.next_out = z->ubuf; s.avail_out = sizeof(z->ubuf);
+    s.next_out = blk->ubuf; s.avail_out = sizeof(blk->ubuf);
     if (inflateInit2(&s, -15) != Z_OK) { free(cbuf); return -1; }
     int r = inflate(&s, Z_FINISH);
     inflateEnd(&s);
     free(cbuf);
     if (r != Z_STREAM_END) return -1;
-    z->ulen = (int)s.total_out;
+    blk->ulen = (int)s.total_out;
+    blk->eof = 0;
+    blk->coffset = coffset;
+    blk->next_coffset = coffset + bsize;
+    blk->stamp = ++z->tick;
+    z->cur = blk;
     z->upos = 0;
-    z->coffset = coffset;
-    z->next_coffset = coffset + bsize;
     return 0;
 }
 
 static int bgzf_seek(bgzf_t *z, int64_t voffset) {
     int64_t co = voffset >> 16;
     int uo = (int)(voffset & 0xffff);
-    if (co != z->coffset || z->ulen == 0) {
+    if (!z->cur || co != z->cur->coffset || z->cur->ulen == 0) {
         int r = bgzf_load_block(z, co);
         if (r != 0) return r;
     }
@@ -109,21 +160,23 @@ static int bgzf_seek(bgzf_t *z, int64_t voffset) {
 }
 
 static int64_t bgzf_tell(bgzf_t *z) {
-    return (z->coffset << 16) | (int64_t)z->upos;
+    return ((z->cur ? z->cur->coffset : 0) << 16) | (int64_t)z->upos;
 }
 
 static int bgzf_read(bgzf_t *z, void *out, int n) {
     uint8_t *dst = out;
     int done = 0;
     while (done < n) {
-        int avail = z->ulen - z->upos;
+        int avail = z->cur ? z->cur->ulen - z->upos : 0;
         if (avail <= 0) {
-            int r = bgzf_load_block(z, z->next_coffset);
-            if (r != 0 || z->ulen == 0) return done;
+            int64_t next = z->cur ? z->cur->next_coffset : 0;
+            int r = bgzf_load_block(z, next);
+            if (r != 0) return done;
+            if (z->cur->ulen == 0) return done;
             continue;
         }
         int take = n - done < avail ? n - done : avail;
-        memcpy(dst + done, z->ubuf + z->upos, take);
+        memcpy(dst + done, z->cur->ubuf + z->upos, take);
         z->upos += take;
         done += take;
     }
@@ -237,8 +290,10 @@ void *svbam_open(const char *path) {
     svbam_t *b = calloc(1, sizeof(svbam_t));
     b->z.fp = fopen(path, "rb");
     if (!b->z.fp) { free(b); return NULL; }
-    b->z.coffset = -1;
-    if (bgzf_load_block(&b->z, 0) != 0) { fclose(b->z.fp); free(b); return NULL; }
+    if (bgzf_init(&b->z) != 0) { fclose(b->z.fp); free(b); return NULL; }
+    if (bgzf_load_block(&b->z, 0) != 0) {
+        fclose(b->z.fp); free(b->z.slots); free(b); return NULL;
+    }
     uint8_t magic[4];
     if (bgzf_read(&b->z, magic, 4) != 4 || memcmp(magic, "BAM\1", 4)) goto fail;
     int32_t l_text;
@@ -273,6 +328,7 @@ void *svbam_open(const char *path) {
     return b;
 fail:
     fclose(b->z.fp);
+    free(b->z.slots);
     free(b);
     return NULL;
 }
@@ -281,6 +337,7 @@ void svbam_close(void *h) {
     svbam_t *b = h;
     if (!b) return;
     fclose(b->z.fp);
+    free(b->z.slots);
     if (b->has_idx) bai_free(&b->idx);
     vec_free(&b->pos); vec_free(&b->nops); vec_free(&b->opoff);
     vec_free(&b->ops); vec_free(&b->lens);
@@ -514,6 +571,41 @@ int64_t svbaseline_consensus(int32_t *locs, int64_t n, int64_t pos,
 /* Evidence walk + consensus for one window over packed reads — the
  * per-record hot loop of the reference (refine_* kernels), used as the
  * CPU baseline for breakpoints/sec. */
+/* One read's evidence walk (the refine_* CIGAR loops of
+ * refinement.c:103-325), appending candidate positions to `cands`. */
+static void extract_read(int32_t kind, const uint8_t *o, const int32_t *l,
+                         int n, int64_t rpos, uint32_t istart, uint32_t iend,
+                         vec_t *cands) {
+    uint32_t rp = (uint32_t)rpos;
+    if (kind == K_DEL_START) {
+        int check_sc = o[n - 1] == 4;
+        for (int k = 0; k < n; k++) {
+            if (o[k] == 2 && l[k] > SV_MIN_LEN)
+                *(int32_t *)vec_push(cands, 1) = (int32_t)rp;
+            if (o[k] != 1 && o[k] != 4) rp += (uint32_t)l[k];
+            if (rp > iend) { check_sc = 0; break; }
+        }
+        if (check_sc && istart <= rp && rp <= iend)
+            *(int32_t *)vec_push(cands, 1) = (int32_t)rp;
+    } else if (kind == K_DEL_END) {
+        for (int k = 0; k < n; k++) {
+            if (o[k] == 2 && l[k] > SV_MIN_LEN)
+                *(int32_t *)vec_push(cands, 1) = (int32_t)(rp + (uint32_t)l[k] + 1u);
+            if (o[k] != 1 && o[k] != 4) rp += (uint32_t)l[k];
+            if (rp > iend) break;
+        }
+        if (o[0] == 4 && istart <= (uint32_t)rpos && (uint32_t)rpos <= iend)
+            *(int32_t *)vec_push(cands, 1) = (int32_t)(rp + 1u);
+    } else if (kind == K_INS) {
+        for (int k = 0; k < n; k++) {
+            if (o[k] == 1 && l[k] >= SV_MIN_LEN)
+                *(int32_t *)vec_push(cands, 1) = (int32_t)rp;
+            if (o[k] != 1 && o[k] != 4) rp += (uint32_t)l[k];
+            if (rp > iend) break;
+        }
+    } /* K_POINT: collects nothing (refinement.c:250 quirk) */
+}
+
 int64_t svbaseline_refine(int32_t kind,
                           const int64_t *rpos, const int32_t *rnops,
                           const int64_t *ropoff,
@@ -526,40 +618,68 @@ int64_t svbaseline_refine(int32_t kind,
     for (int64_t r = 0; r < n_reads; r++) {
         int n = rnops[r];
         if (!n) continue;
-        const uint8_t *o = ops + ropoff[r];
-        const int32_t *l = lens + ropoff[r];
-        uint32_t rp = (uint32_t)rpos[r];
-        if (kind == K_DEL_START) {
-            int check_sc = o[n - 1] == 4;
-            for (int k = 0; k < n; k++) {
-                if (o[k] == 2 && l[k] > SV_MIN_LEN)
-                    *(int32_t *)vec_push(&cands, 1) = (int32_t)rp;
-                if (o[k] != 1 && o[k] != 4) rp += (uint32_t)l[k];
-                if (rp > (uint32_t)iend) { check_sc = 0; break; }
-            }
-            if (check_sc && (uint32_t)istart <= rp && rp <= (uint32_t)iend)
-                *(int32_t *)vec_push(&cands, 1) = (int32_t)rp;
-        } else if (kind == K_DEL_END) {
-            for (int k = 0; k < n; k++) {
-                if (o[k] == 2 && l[k] > SV_MIN_LEN)
-                    *(int32_t *)vec_push(&cands, 1) = (int32_t)(rp + (uint32_t)l[k] + 1u);
-                if (o[k] != 1 && o[k] != 4) rp += (uint32_t)l[k];
-                if (rp > (uint32_t)iend) break;
-            }
-            if (o[0] == 4 && (uint32_t)istart <= (uint32_t)rpos[r]
-                && (uint32_t)rpos[r] <= (uint32_t)iend)
-                *(int32_t *)vec_push(&cands, 1) = (int32_t)(rp + 1u);
-        } else if (kind == K_INS) {
-            for (int k = 0; k < n; k++) {
-                if (o[k] == 1 && l[k] >= SV_MIN_LEN)
-                    *(int32_t *)vec_push(&cands, 1) = (int32_t)rp;
-                if (o[k] != 1 && o[k] != 4) rp += (uint32_t)l[k];
-                if (rp > (uint32_t)iend) break;
-            }
-        } /* K_POINT: collects nothing */
+        extract_read(kind, ops + ropoff[r], lens + ropoff[r], n, rpos[r],
+                     (uint32_t)istart, (uint32_t)iend, &cands);
     }
     int64_t out = svbaseline_consensus(cands.data, (int64_t)cands.len,
                                        ipos, min_count, interval, range);
     vec_free(&cands);
     return out;
+}
+
+/* Host-side evidence extraction for the whole last fetch_batch: window
+ * w's reads are fetch rows [sum(win_counts[0..w)), +win_counts[w]).
+ * Per window: run the reference's evidence walk over its reads, sort the
+ * candidates ascending; if count <= K write the row into cands_out
+ * (INT32_MAX padded) for the device consensus and set refined_out[w] =
+ * INT64_MIN, else refine right here with the scalar consensus (the
+ * device never sees that window).  counts_out[w] = true candidate count.
+ *
+ * This is the bandwidth-optimal feed for a remote accelerator: K int32s
+ * per window instead of every read's full CIGAR (the walk is
+ * memory-bound irregular integer work; the consensus sweep is the part
+ * that vectorizes). */
+void svbam_extract_batch(void *h, int32_t nwin, const int32_t *kinds,
+                         const int64_t *istart, const int64_t *iend,
+                         const int64_t *ipos, const int64_t *win_counts,
+                         int32_t K, int32_t min_count, int32_t interval,
+                         int32_t range,
+                         int32_t *cands_out, int32_t *counts_out,
+                         int64_t *refined_out) {
+    svbam_t *b = h;
+    const int64_t *rpos = b->pos.data;
+    const int32_t *rnops = b->nops.data;
+    const int64_t *ropoff = b->opoff.data;
+    const uint8_t *ops = b->ops.data;
+    const int32_t *lens = b->lens.data;
+    vec_t cands; vec_init(&cands, 4);
+    int64_t row = 0;
+    for (int32_t w = 0; w < nwin; w++) {
+        cands.len = 0;
+        for (int64_t r = row; r < row + win_counts[w]; r++) {
+            int n = rnops[r];
+            if (!n) continue;
+            extract_read(kinds[w], ops + ropoff[r], lens + ropoff[r], n,
+                         rpos[r], (uint32_t)istart[w], (uint32_t)iend[w],
+                         &cands);
+        }
+        row += win_counts[w];
+        counts_out[w] = (int32_t)cands.len;
+        int32_t *dst = cands_out + (int64_t)w * K;
+        if ((int64_t)cands.len <= (int64_t)K) {
+            if (cands.len) {
+                qsort(cands.data, cands.len, 4, cmp_i32);
+                memcpy(dst, cands.data, cands.len * 4);
+            }
+            for (int64_t k = (int64_t)cands.len; k < K; k++)
+                dst[k] = 0x7fffffff;
+            refined_out[w] = INT64_MIN;
+        } else {
+            for (int32_t k = 0; k < K; k++) dst[k] = 0x7fffffff;
+            refined_out[w] = svbaseline_consensus(
+                cands.data, (int64_t)cands.len, ipos[w],
+                min_count, interval, range);
+        }
+    }
+    vec_free(&cands);
 }

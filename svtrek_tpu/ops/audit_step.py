@@ -50,7 +50,33 @@ class AuditBatch:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_windows", "K", "min_count", "interval", "range_"),
+    static_argnames=("min_count", "interval", "range_", "sweep_width"),
+)
+def audit_consensus_step(
+    locs: jnp.ndarray,
+    counts: jnp.ndarray,
+    imprecise_pos: jnp.ndarray,
+    *,
+    min_count: int = C.CONSENSUS_MIN_COUNT,
+    interval: int = C.CONSENSUS_INTERVAL,
+    range_: int = C.CONSENSUS_INTERVAL_RANGE,
+    sweep_width: int = 128,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Consensus-only device step for host-extracted candidate batches
+    (pack.AuditBatchCand): locs [B, K] sorted int32 w/ INT32_MAX pad,
+    counts [B] (<= K), imprecise_pos [B].  Returns (refined, sweep_ovf).
+    """
+    return consensus_pos_batch(
+        locs, counts, imprecise_pos,
+        min_count=min_count, interval=interval, range_=range_,
+        sweep_width=sweep_width,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_windows", "K", "min_count", "interval", "range_",
+                     "sweep_width"),
 )
 def audit_refine_step(
     ops: jnp.ndarray,
@@ -68,6 +94,7 @@ def audit_refine_step(
     min_count: int = C.CONSENSUS_MIN_COUNT,
     interval: int = C.CONSENSUS_INTERVAL,
     range_: int = C.CONSENSUS_INTERVAL_RANGE,
+    sweep_width: int = 128,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Refine a packed batch of tasks.
 
@@ -96,6 +123,7 @@ def audit_refine_step(
         min_count=min_count,
         interval=interval,
         range_=range_,
+        sweep_width=sweep_width,
     )
     overflow = sweep_ovf | read_ovf | (counts > K)
     return refined, counts, overflow
@@ -167,7 +195,7 @@ def csr_to_padded(
 @functools.partial(
     jax.jit,
     static_argnames=("num_windows", "K", "O",
-                     "min_count", "interval", "range_"),
+                     "min_count", "interval", "range_", "sweep_width"),
 )
 def audit_refine_step_csr(
     ops_flat: jnp.ndarray,
@@ -186,6 +214,7 @@ def audit_refine_step_csr(
     min_count: int = C.CONSENSUS_MIN_COUNT,
     interval: int = C.CONSENSUS_INTERVAL,
     range_: int = C.CONSENSUS_INTERVAL_RANGE,
+    sweep_width: int = 128,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """audit_refine_step, but fed the flat CSR layout (host ships ~half
     the bytes; the padded matrices are built in HBM)."""
@@ -195,4 +224,5 @@ def audit_refine_step_csr(
         kind, inter_start, inter_end, imprecise_pos,
         num_windows=num_windows, K=K,
         min_count=min_count, interval=interval, range_=range_,
+        sweep_width=sweep_width,
     )

@@ -33,7 +33,8 @@ def make_mesh(devices=None, axis: str = "data") -> Mesh:
 
 def _local_audit_step(ops, lens, pos, n_ops, window_id, kind,
                       inter_start, inter_end, imprecise_pos,
-                      *, num_windows_local, K, min_count, interval, range_):
+                      *, num_windows_local, K, min_count, interval, range_,
+                      sweep_width=128):
     """Per-shard audit step (window ids are shard-local)."""
     wid_c = jnp.clip(window_id, 0, num_windows_local - 1)
     kind_r = jnp.take(kind, wid_c)
@@ -47,6 +48,7 @@ def _local_audit_step(ops, lens, pos, n_ops, window_id, kind,
     refined, sweep_ovf = consensus_pos_batch(
         locs, jnp.minimum(counts, K), imprecise_pos,
         min_count=min_count, interval=interval, range_=range_,
+        sweep_width=sweep_width,
     )
     return refined, counts, sweep_ovf | read_ovf | (counts > K)
 
@@ -54,7 +56,8 @@ def _local_audit_step(ops, lens, pos, n_ops, window_id, kind,
 def sharded_audit_step(mesh: Mesh, *, num_windows: int, K: int,
                        min_count: int = C.CONSENSUS_MIN_COUNT,
                        interval: int = C.CONSENSUS_INTERVAL,
-                       range_: int = C.CONSENSUS_INTERVAL_RANGE):
+                       range_: int = C.CONSENSUS_INTERVAL_RANGE,
+                       sweep_width: int = 128):
     """Build the jitted multi-chip audit step for `mesh`.
 
     Expects batch arrays laid out shard-blockwise: reads axis N and window
@@ -73,6 +76,7 @@ def sharded_audit_step(mesh: Mesh, *, num_windows: int, K: int,
         _local_audit_step,
         num_windows_local=b_loc, K=K,
         min_count=min_count, interval=interval, range_=range_,
+        sweep_width=sweep_width,
     )
     spec = P(axis)
     fn = jax.shard_map(
@@ -80,6 +84,40 @@ def sharded_audit_step(mesh: Mesh, *, num_windows: int, K: int,
         mesh=mesh,
         in_specs=(spec,) * 9,
         out_specs=(spec, spec, spec),
+    )
+    return jax.jit(fn)
+
+
+def sharded_consensus_step(mesh: Mesh, *, num_windows: int,
+                           min_count: int = C.CONSENSUS_MIN_COUNT,
+                           interval: int = C.CONSENSUS_INTERVAL,
+                           range_: int = C.CONSENSUS_INTERVAL_RANGE,
+                           sweep_width: int = 128):
+    """Multi-chip step for host-extracted candidate batches
+    (pack.AuditBatchCand): shards the window axis of the consensus sweep
+    across the mesh.  Rows are independent windows, so the layout is the
+    natural blockwise split — no shard-local id remapping needed.
+
+    Returns fn(locs [B, K], counts [B], ipos [B]) -> (refined [B],
+    sweep_ovf [B])."""
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+    if num_windows % n:
+        raise ValueError(
+            f"num_windows {num_windows} not divisible by mesh size {n}")
+
+    def local(locs, counts, ipos):
+        return consensus_pos_batch(
+            locs, counts, ipos,
+            min_count=min_count, interval=interval, range_=range_,
+            sweep_width=sweep_width,
+        )
+
+    spec = P(axis)
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=(spec, spec),
     )
     return jax.jit(fn)
 

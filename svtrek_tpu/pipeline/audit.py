@@ -40,8 +40,8 @@ from ..io.vcf import VcfSkip, VcfTask, iter_vcf_tasks
 from ..oracle import refine_task
 from ..ops.audit_step import audit_refine_step
 from .pack import (
-    PackedBatch, PackedReads, as_read_list, pack_chunk, pack_chunk_native,
-    windows_for_task,
+    INT64_MIN, PackedBatch, PackedCandBatch, PackedReads, as_read_list,
+    pack_chunk, pack_chunk_cand, pack_chunk_native, windows_for_task,
 )
 
 NA32 = 0xFFFFFFFF
@@ -75,7 +75,11 @@ class AuditStats:
     windows: int = 0
     reads: int = 0
     batches: int = 0
-    oracle_windows: int = 0  # host-fallback windows (too-long / overflow)
+    oracle_windows: int = 0  # host-fallback windows, all causes (total)
+    fallback_kovf: int = 0   # candidate count exceeded K (cand_width)
+    fallback_sweep: int = 0  # consensus sweep exceeded sweep_width
+    fallback_long: int = 0   # a read exceeded the top ops bucket
+    fallback_device: int = 0 # device-extract overflow (lumped causes)
     data_shards: int = 1
 
     def report(self, err) -> None:
@@ -83,6 +87,8 @@ class AuditStats:
             f"[VERBOSE] records={self.records} windows={self.windows} "
             f"reads={self.reads} batches={self.batches} "
             f"oracle_fallbacks={self.oracle_windows} "
+            f"(kovf={self.fallback_kovf} sweep={self.fallback_sweep} "
+            f"long_ops={self.fallback_long} device={self.fallback_device}) "
             f"data_shards={self.data_shards}",
             file=err,
         )
@@ -103,7 +109,8 @@ def _next_pow2(n: int, lo: int = 16) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _get_sharded_step(n_dev: int, num_windows: int, K: int,
-                      min_count: int, interval: int, range_: int):
+                      min_count: int, interval: int, range_: int,
+                      sweep_width: int = 128):
     import jax
 
     from ..parallel.mesh import make_mesh, sharded_audit_step
@@ -112,6 +119,23 @@ def _get_sharded_step(n_dev: int, num_windows: int, K: int,
     return sharded_audit_step(
         mesh, num_windows=num_windows, K=K,
         min_count=min_count, interval=interval, range_=range_,
+        sweep_width=sweep_width,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _get_sharded_consensus(n_dev: int, num_windows: int,
+                           min_count: int, interval: int, range_: int,
+                           sweep_width: int):
+    import jax
+
+    from ..parallel.mesh import make_mesh, sharded_consensus_step
+
+    mesh = make_mesh(jax.devices()[:n_dev])
+    return sharded_consensus_step(
+        mesh, num_windows=num_windows,
+        min_count=min_count, interval=interval, range_=range_,
+        sweep_width=sweep_width,
     )
 
 
@@ -127,14 +151,32 @@ def resolve_data_shards(cfg) -> int:
     return max(1, jax.local_device_count())
 
 
-def dispatch_refinement(packed: PackedBatch, cfg: AudtConfig):
+def dispatch_refinement(packed, cfg: AudtConfig):
     """Launch the device step for one packed batch (async dispatch);
     returns the un-materialized device arrays, or None for empty."""
-    from ..ops.audit_step import AuditBatchCSR, audit_refine_step_csr
+    from ..ops.audit_step import (
+        AuditBatchCSR, audit_consensus_step, audit_refine_step_csr,
+    )
 
     b = packed.batch
     if b.num_windows == 0:
         return None
+    sweep_width = getattr(cfg, "sweep_width", 128)
+    if isinstance(packed, PackedCandBatch):
+        if packed.n_shards > 1:
+            step = _get_sharded_consensus(
+                packed.n_shards, b.num_windows,
+                cfg.consensus_min_count, cfg.consensus_interval,
+                cfg.consensus_interval_range, sweep_width,
+            )
+            return step(b.locs, b.counts, b.imprecise_pos)
+        return audit_consensus_step(
+            b.locs, b.counts, b.imprecise_pos,
+            min_count=cfg.consensus_min_count,
+            interval=cfg.consensus_interval,
+            range_=cfg.consensus_interval_range,
+            sweep_width=sweep_width,
+        )
     K = _next_pow2(min(cfg.max_candidates, 8192), 64)
     if isinstance(b, AuditBatchCSR):
         return audit_refine_step_csr(
@@ -144,12 +186,13 @@ def dispatch_refinement(packed: PackedBatch, cfg: AudtConfig):
             min_count=cfg.consensus_min_count,
             interval=cfg.consensus_interval,
             range_=cfg.consensus_interval_range,
+            sweep_width=sweep_width,
         )
     if packed.n_shards > 1:
         step = _get_sharded_step(
             packed.n_shards, b.num_windows, K,
             cfg.consensus_min_count, cfg.consensus_interval,
-            cfg.consensus_interval_range,
+            cfg.consensus_interval_range, sweep_width,
         )
         return step(b.ops, b.lens, b.pos, b.n_ops, b.window_id,
                     b.kind, b.inter_start, b.inter_end, b.imprecise_pos)
@@ -160,14 +203,43 @@ def dispatch_refinement(packed: PackedBatch, cfg: AudtConfig):
         min_count=cfg.consensus_min_count,
         interval=cfg.consensus_interval,
         range_=cfg.consensus_interval_range,
+        sweep_width=sweep_width,
     )
 
 
-def collect_refinement(packed: PackedBatch, dev, cfg: AudtConfig,
+def collect_refinement(packed, dev, cfg: AudtConfig,
                        stats: AuditStats | None = None) -> list:
     """Materialize device results (+ oracle fallback). Returns
     (window, refined) pairs."""
     out = []
+    if isinstance(packed, PackedCandBatch):
+        from ..oracle import consensus_pos
+
+        refined, sweep_ovf = (np.asarray(x) for x in dev)
+        for i, w in enumerate(packed.windows):
+            if packed.refined_c[i] != INT64_MIN:
+                # K overflow: the C extractor already ran the exact
+                # scalar consensus over the full candidate set.
+                if stats:
+                    stats.oracle_windows += 1
+                    stats.fallback_kovf += 1
+                out.append((w, int(packed.refined_c[i])))
+            elif sweep_ovf[i]:
+                # Sweep overflow: exact host consensus over the (<= K,
+                # already sorted) candidates — no re-fetch needed.
+                if stats:
+                    stats.oracle_windows += 1
+                    stats.fallback_sweep += 1
+                cnt = int(packed.true_counts[i])
+                r = consensus_pos(
+                    packed.batch.locs[i, :cnt].tolist(), w.imprecise_pos,
+                    cfg.consensus_min_count, cfg.consensus_interval,
+                    cfg.consensus_interval_range,
+                )
+                out.append((w, r))
+            else:
+                out.append((w, int(refined[i])))
+        return out
     if dev is not None:
         refined, counts, overflow = (np.asarray(x) for x in dev)
         slots = (packed.window_slots if packed.window_slots is not None
@@ -177,6 +249,7 @@ def collect_refinement(packed: PackedBatch, dev, cfg: AudtConfig,
                 # Capacity/sweep overflow: exact host fallback.
                 if stats:
                     stats.oracle_windows += 1
+                    stats.fallback_device += 1
                 r = refine_task(
                     w.kind, as_read_list(packed.reads_per_window[i]),
                     w.inter_start, w.inter_end, w.imprecise_pos,
@@ -189,6 +262,7 @@ def collect_refinement(packed: PackedBatch, dev, cfg: AudtConfig,
     for w, reads in packed.oracle_windows:
         if stats:
             stats.oracle_windows += 1
+            stats.fallback_long += 1
         r = refine_task(
             w.kind, reads, w.inter_start, w.inter_end, w.imprecise_pos,
             cfg.consensus_min_count, cfg.consensus_interval,
@@ -324,9 +398,13 @@ def run_audit(cfg: AudtConfig, out=None, err=None) -> list[str]:
                 tls.fetch = make_fetch()
             t0 = time.perf_counter()
             reader = getattr(tls.fetch, "_reader", None)
-            if n_shards == 1 and hasattr(reader, "fetch_batch"):
-                # All-in-C fast path: one fetch call + one scatter call
-                # per chunk, GIL released throughout.
+            extract = getattr(cfg, "extract", "auto")
+            if extract != "device" and hasattr(reader, "extract_batch"):
+                # Host-extract fast path: C does the fetch AND the
+                # evidence walk; the device gets K candidates/window.
+                pb = pack_chunk_cand(chunk, reader, cfg, n_shards=n_shards)
+            elif n_shards == 1 and hasattr(reader, "fetch_batch"):
+                # All-in-C fetch + scatter into packed CIGAR matrices.
                 pb = pack_chunk_native(chunk, reader, cfg)
             else:
                 pb = pack_chunk(chunk, tls.fetch, cfg, n_shards=n_shards)
@@ -381,24 +459,37 @@ def run_audit(cfg: AudtConfig, out=None, err=None) -> list[str]:
             else:
                 res.rend = C.u32(refined)
 
-    in_flight: tuple[PackedBatch, object] | None = None
+    # Keep several batches in flight (JAX async dispatch pipelines them);
+    # each collect pays one host↔device sync round-trip, so a deeper
+    # window hides that latency behind the following batches' compute.
+    from collections import deque
+
+    in_flight: deque = deque()
+    depth = max(2, cfg.tload_factor)
     while True:
         packed = q.get()
         if isinstance(packed, BaseException):
             raise packed
         if packed is None:
             break
-        dev = dispatch_refinement(packed, cfg)  # async: device starts now
-        if in_flight is not None:
-            t0 = time.perf_counter()
-            apply(collect_refinement(*in_flight, cfg, stats))
-            stats.device_s += time.perf_counter() - t0
-        in_flight = (packed, dev)
+        in_flight.append((packed, dispatch_refinement(packed, cfg)))
         stats.batches += 1
-        stats.reads += packed.batch.num_reads
-    if in_flight is not None:
+        stats.reads += (packed.num_reads if isinstance(packed, PackedCandBatch)
+                        else packed.batch.num_reads)
+        if len(in_flight) > depth:
+            t0 = time.perf_counter()
+            apply(collect_refinement(*in_flight.popleft(), cfg, stats))
+            stats.device_s += time.perf_counter() - t0
+    if in_flight:
+        # Drain: one device_get for every outstanding batch — a single
+        # host↔device transfer burst instead of one sync per batch.
+        import jax
+
         t0 = time.perf_counter()
-        apply(collect_refinement(*in_flight, cfg, stats))
+        packs = [p for p, _ in in_flight]
+        devs = jax.device_get([d for _, d in in_flight])
+        for p, d in zip(packs, devs):
+            apply(collect_refinement(p, d, cfg, stats))
         stats.device_s += time.perf_counter() - t0
     if trace_ctx is not None:
         trace_ctx.__exit__(None, None, None)

@@ -420,6 +420,106 @@ def pack_chunk_native(window_chunk: Sequence[WindowSpec], reader, cfg
     )
 
 
+INT64_MIN = np.iinfo(np.int64).min
+_I32_PAD = 0x7FFFFFFF
+
+
+@dataclass
+class AuditBatchCand:
+    """Host-extracted candidate layout (the bandwidth-optimal device
+    feed): the native C reader already ran the reference's CIGAR
+    evidence walk (refinement.c:103-325) per window, so the device
+    receives only K sorted int32 candidates per window — typically
+    100-500x fewer host→device bytes than shipping packed CIGARs — and
+    runs the batched consensus sweep (the genuinely vectorizable part).
+    """
+
+    locs: np.ndarray           # [B, K] int32 sorted asc, INT32_MAX pad
+    counts: np.ndarray         # [B] int32, clipped to K
+    imprecise_pos: np.ndarray  # [B] int32
+
+    @property
+    def num_windows(self) -> int:
+        return int(self.counts.shape[0])
+
+
+@dataclass
+class PackedCandBatch:
+    """A host-extracted batch plus everything collect/emit need."""
+
+    batch: AuditBatchCand
+    windows: list[WindowSpec]
+    true_counts: np.ndarray    # [n_win] int32, may exceed K
+    refined_c: np.ndarray      # [n_win] int64; != INT64_MIN → precomputed
+    num_reads: int = 0
+    n_shards: int = 1
+
+
+def pack_chunk_cand(window_chunk: Sequence[WindowSpec], reader, cfg,
+                    n_shards: int = 1) -> PackedCandBatch:
+    """Fetch + host-extract one chunk of windows (all heavy work in C).
+
+    One `svbam_fetch_batch` + one `svbam_extract_batch` call per chunk;
+    windows whose candidates overflow K arrive pre-refined by the C
+    scalar consensus (exact; same semantics the golden refshim tests
+    prove against the reference's own code)."""
+    n_win = len(window_chunk)
+    tids = np.empty(n_win, np.int32)
+    begs = np.empty(n_win, np.int64)
+    ends = np.empty(n_win, np.int64)
+    kinds = np.empty(n_win, np.int32)
+    istart = np.empty(n_win, np.int64)
+    iend = np.empty(n_win, np.int64)
+    ipos = np.empty(n_win, np.int64)
+    for i, w in enumerate(window_chunk):
+        kinds[i] = w.kind
+        istart[i] = int(C.u32(w.inter_start))
+        iend[i] = int(C.u32(w.inter_end))
+        ipos[i] = int(C.u32(w.imprecise_pos))
+        if w.kind == KIND_POINT or w.chrom_index - 1 < 0:
+            tids[i] = -1  # refine_point collects nothing; skip I/O
+            begs[i] = ends[i] = 0
+        else:
+            tids[i] = w.chrom_index - 1
+            begs[i] = int(C.u32(w.inter_start - 1))
+            ends[i] = int(C.u32(w.inter_end - 1))
+
+    total, win_counts = reader.fetch_batch(tids, begs, ends)
+    K = _pow2(min(getattr(cfg, "cand_width", 128), 8192), lo=16)
+    locs, counts, refined = reader.extract_batch(
+        kinds, istart, iend, ipos, win_counts, K,
+        cfg.consensus_min_count, cfg.consensus_interval,
+        cfg.consensus_interval_range,
+    )
+
+    # Pad the window axis to a stable bucket (recompile control); with a
+    # mesh, also to a multiple of the shard count (rows shard blockwise).
+    B = max(cfg.batch_windows, n_win, 1)
+    if n_shards > 1:
+        B = ((B + n_shards - 1) // n_shards) * n_shards
+    if B != n_win:
+        locs_p = np.full((B, K), _I32_PAD, np.int32)
+        locs_p[:n_win] = locs
+        counts_p = np.zeros(B, np.int32)
+        counts_p[:n_win] = np.minimum(counts, K)
+        ipos_p = np.zeros(B, np.int32)
+        ipos_p[:n_win] = ipos.astype(np.int32)
+    else:
+        locs_p = locs
+        counts_p = np.minimum(counts, K)
+        ipos_p = ipos.astype(np.int32)
+
+    return PackedCandBatch(
+        batch=AuditBatchCand(locs=locs_p, counts=counts_p,
+                             imprecise_pos=ipos_p),
+        windows=list(window_chunk),
+        true_counts=counts,
+        refined_c=refined,
+        num_reads=int(total),
+        n_shards=n_shards,
+    )
+
+
 def _split_oracle(items):
     """Separate windows whose reads exceed the top ops bucket (host
     oracle handles those with exact reference semantics)."""
