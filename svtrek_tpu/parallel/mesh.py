@@ -15,6 +15,7 @@ packing, which the host packer guarantees by equalizing reads/shard.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,55 @@ from ..ops.consensus import consensus_pos_batch
 def make_mesh(devices=None, axis: str = "data") -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.array(devices), (axis,))
+
+
+_DISTRIBUTED_INITIALIZED = False
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """jax.distributed bootstrap — the multi-host communication backend
+    (SURVEY.md §5 'distributed backend'; replaces the reference's
+    single-node pthread model, audit.c:269-293, across TPU hosts).
+
+    Arguments default from the environment so a launcher can export
+    SVTREK_COORDINATOR=host:port, SVTREK_NUM_PROCS, SVTREK_PROC_ID and
+    run the same CLI command on every host.  No-op (returns the local
+    device count) when no coordinator is configured.  Returns the
+    *global* device count after initialization.
+
+    Idempotent: safe to call from both the CLI and library entry points.
+    """
+    global _DISTRIBUTED_INITIALIZED
+    coordinator_address = coordinator_address or os.environ.get(
+        "SVTREK_COORDINATOR", "")
+    if not coordinator_address:
+        return jax.local_device_count()
+    if not _DISTRIBUTED_INITIALIZED:
+        num_processes = int(num_processes if num_processes is not None
+                            else os.environ.get("SVTREK_NUM_PROCS", "1"))
+        process_id = int(process_id if process_id is not None
+                         else os.environ.get("SVTREK_PROC_ID", "0"))
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        _DISTRIBUTED_INITIALIZED = True
+    return len(jax.devices())
+
+
+def make_global_array(local: np.ndarray, mesh: Mesh) -> jax.Array:
+    """Assemble a process-local block into a global, mesh-sharded array
+    (axis 0 sharded across the mesh): each process contributes its own
+    rows; XLA addresses only the local shards, so no data moves between
+    hosts.  Single-process meshes take the plain device_put path."""
+    spec = P(mesh.axis_names[0])
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    return jax.make_array_from_process_local_data(sharding, local)
 
 
 def _local_audit_step(ops, lens, pos, n_ops, window_id, kind,

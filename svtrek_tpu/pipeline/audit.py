@@ -142,7 +142,17 @@ def _get_sharded_consensus(n_dev: int, num_windows: int,
 def resolve_data_shards(cfg) -> int:
     """How many mesh shards to pack for: cfg.data_shards, or (auto) the
     local device count. Import of jax is deferred so pure-host paths
-    never initialize a backend."""
+    never initialize a backend.
+
+    When SVTREK_COORDINATOR is exported, the jax.distributed backend is
+    bootstrapped first (parallel.mesh.init_distributed) — the multi-host
+    launch is the same CLI command on every host plus three env vars."""
+    import os as _os
+
+    if _os.environ.get("SVTREK_COORDINATOR"):
+        from ..parallel.mesh import init_distributed
+
+        init_distributed()
     n = getattr(cfg, "data_shards", 0)
     if n and n > 0:
         return n
