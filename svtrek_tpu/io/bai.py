@@ -30,16 +30,20 @@ def reg2bin(beg: int, end: int) -> int:
     return 0
 
 
-def reg2bins(beg: int, end: int) -> list[int]:
-    """All bins overlapping [beg, end)."""
+def reg2bins(beg: int, end: int, min_shift: int = 14,
+             depth: int = 5) -> list[int]:
+    """All bins overlapping [beg, end).  Defaults are the BAI binning;
+    CSI parameterizes (min_shift, depth)."""
     bins = [0]
     if beg >= end:
         return bins
     end -= 1
-    for shift, offset in (
-        (26, 1), (23, 9), (20, 73), (17, 585), (14, 4681),
-    ):
-        bins.extend(range(offset + (beg >> shift), offset + (end >> shift) + 1))
+    s = min_shift + depth * 3
+    t = 0
+    for level in range(1, depth + 1):
+        s -= 3
+        t += 1 << ((level - 1) * 3)
+        bins.extend(range(t + (beg >> s), t + (end >> s) + 1))
     return bins
 
 
@@ -50,10 +54,18 @@ class RefIndex:
 
 
 class BaiIndex:
-    """In-memory BAI index with query + (de)serialization."""
+    """In-memory BAM index (BAI or CSI) with query + (de)serialization.
 
-    def __init__(self, refs: list[RefIndex] | None = None):
+    htslib's sam_index_load transparently accepts either format
+    (reference use: audit.c:272); load_auto mirrors that by trying
+    `<bam>.bai` then `<bam>.csi`.
+    """
+
+    def __init__(self, refs: list[RefIndex] | None = None,
+                 min_shift: int = 14, depth: int = 5):
         self.refs: list[RefIndex] = refs or []
+        self.min_shift = min_shift
+        self.depth = depth
 
     # --- construction (writer side) ------------------------------------
 
@@ -106,6 +118,24 @@ class BaiIndex:
                 for v in ref.linear:
                     fh.write(struct.pack("<Q", v))
 
+    def save_csi(self, path: str):
+        """Write the index in CSI format (BGZF-compressed; per-bin
+        loffset = earliest chunk start, a valid conservative bound)."""
+        from .bgzf import BgzfWriter
+
+        with BgzfWriter(path) as fh:
+            fh.write(b"CSI\x01")
+            fh.write(struct.pack("<iii", self.min_shift, self.depth, 0))
+            fh.write(struct.pack("<i", len(self.refs)))
+            for ref in self.refs:
+                fh.write(struct.pack("<i", len(ref.bins)))
+                for b in sorted(ref.bins):
+                    chunks = ref.bins[b]
+                    loffset = min((c[0] for c in chunks), default=0)
+                    fh.write(struct.pack("<IQi", b, loffset, len(chunks)))
+                    for vbeg, vend in chunks:
+                        fh.write(struct.pack("<QQ", vbeg, vend))
+
     @classmethod
     def load(cls, path: str) -> "BaiIndex":
         with open(path, "rb") as fh:
@@ -137,6 +167,54 @@ class BaiIndex:
             refs.append(RefIndex(bins, linear))
         return cls(refs)
 
+    @classmethod
+    def load_csi(cls, path: str) -> "BaiIndex":
+        """CSI (.csi) index: BGZF-compressed, parameterized binning,
+        per-bin loffset instead of a linear index."""
+        from .bgzf import BgzfReader
+
+        with BgzfReader(path) as fh:
+            def read(n: int) -> bytes:
+                buf = fh.read(n)
+                if len(buf) != n:
+                    raise ValueError(f"{path}: truncated CSI index")
+                return buf
+
+            if read(4) != b"CSI\x01":
+                raise ValueError(f"{path}: not a CSI index")
+            min_shift, depth, l_aux = struct.unpack("<iii", read(12))
+            read(l_aux)
+            (n_ref,) = struct.unpack("<i", read(4))
+            max_bin = ((1 << ((depth + 1) * 3)) - 1) // 7 + 1
+            refs = []
+            for _ in range(n_ref):
+                (n_bin,) = struct.unpack("<i", read(4))
+                bins: dict[int, list[tuple[int, int]]] = {}
+                for _ in range(n_bin):
+                    b, _loffset, n_chunk = struct.unpack("<IQi", read(16))
+                    chunks = []
+                    for _ in range(n_chunk):
+                        vbeg, vend = struct.unpack("<QQ", read(16))
+                        chunks.append((vbeg, vend))
+                    if b != max_bin:  # metadata pseudo-bin
+                        bins[b] = chunks
+                refs.append(RefIndex(bins, []))
+        return cls(refs, min_shift=min_shift, depth=depth)
+
+    @classmethod
+    def load_auto(cls, bam_path: str) -> "BaiIndex":
+        """Load `<bam>.bai`, falling back to `<bam>.csi` (htslib's
+        sam_index_load contract)."""
+        import os
+
+        bai = bam_path + ".bai"
+        if os.path.exists(bai):
+            return cls.load(bai)
+        csi = bam_path + ".csi"
+        if os.path.exists(csi):
+            return cls.load_csi(csi)
+        raise FileNotFoundError(f"no .bai or .csi index for {bam_path}")
+
     # --- query ----------------------------------------------------------
 
     def query_chunks(self, tid: int, beg: int, end: int) -> list[tuple[int, int]]:
@@ -150,7 +228,7 @@ class BaiIndex:
             ref.linear[-1] if ref.linear else 0
         )
         chunks = []
-        for b in reg2bins(beg, end):
+        for b in reg2bins(beg, end, self.min_shift, self.depth):
             for vbeg, vend in ref.bins.get(b, ()):
                 if vend > min_off:
                     chunks.append((max(vbeg, min_off), vend))

@@ -185,7 +185,7 @@ class BamReader:
     @property
     def index(self) -> BaiIndex:
         if self._index is None:
-            self._index = BaiIndex.load(self.path + ".bai")
+            self._index = BaiIndex.load_auto(self.path)
         return self._index
 
     def tid_of(self, name: str) -> int:
@@ -236,3 +236,9 @@ class BamReader:
 
     def close(self):
         self._bgzf.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

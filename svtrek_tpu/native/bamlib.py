@@ -25,6 +25,12 @@ def load_library():
     lib.svbam_close.argtypes = [ct.c_void_p]
     lib.svbam_nref.restype = ct.c_int32
     lib.svbam_nref.argtypes = [ct.c_void_p]
+    lib.svbam_error.restype = ct.c_char_p
+    lib.svbam_error.argtypes = [ct.c_void_p]
+    lib.svbam_ref_name.restype = ct.c_char_p
+    lib.svbam_ref_name.argtypes = [ct.c_void_p, ct.c_int32]
+    lib.svbam_tid.restype = ct.c_int32
+    lib.svbam_tid.argtypes = [ct.c_void_p, ct.c_char_p]
     lib.svbam_fetch.restype = ct.c_int64
     lib.svbam_fetch.argtypes = [ct.c_void_p, ct.c_int32, ct.c_int64, ct.c_int64]
     for name, ty in [
@@ -79,13 +85,20 @@ def load_library():
     return lib
 
 
+class NativeBamError(IOError):
+    """A BAM/BGZF decode failure (corrupt or truncated input).  Raised
+    instead of returning a silently-partial read set — the same contract
+    htslib gives the reference (audit.c:270-272)."""
+
+
 class NativeBamReader:
-    """Indexed BAM reader backed by the C library.
+    """Indexed BAM reader backed by the C library (.bai or .csi index).
 
     fetch() mirrors the htslib iterator semantics (same contract as
     io.bam.BamReader.fetch) and returns python (pos, cigar) pairs;
     fetch_packed() returns the zero-copy-ish packed numpy arrays used by
-    the device packer fast path.
+    the device packer fast path.  Any decode failure raises
+    NativeBamError with the C layer's detail message.
     """
 
     def __init__(self, path: str):
@@ -109,11 +122,27 @@ class NativeBamReader:
         except Exception:
             pass
 
+    def _raise_error(self):
+        msg = self._lib.svbam_error(self._h)
+        raise NativeBamError(
+            msg.decode() if msg else "BAM decode failed")
+
+    def ref_name(self, tid: int) -> str:
+        """Reference name for a tid (BAM header)."""
+        return self._lib.svbam_ref_name(self._h, tid).decode()
+
+    def tid_by_name(self, name: str) -> int:
+        """tid for a reference name (tolerates a chr-prefix difference);
+        -1 if absent."""
+        return int(self._lib.svbam_tid(self._h, name.encode()))
+
     def fetch_packed(self, tid: int, beg: int, end: int):
         """Returns (pos [R] i64, n_ops [R] i32, opoff [R] i64,
         ops [T] u8, lens [T] i32) — copies of the library's buffers."""
         n = self._lib.svbam_fetch(self._h, tid, beg, end)
-        if n <= 0:
+        if n < 0:
+            self._raise_error()
+        if n == 0:
             return (np.empty(0, np.int64), np.empty(0, np.int32),
                     np.empty(0, np.int64), np.empty(0, np.uint8),
                     np.empty(0, np.int32))
@@ -143,6 +172,8 @@ class NativeBamReader:
             ends.ctypes.data_as(ct.POINTER(ct.c_int64)),
             counts.ctypes.data_as(ct.POINTER(ct.c_int64)),
         )
+        if total < 0:
+            self._raise_error()
         return int(total), counts
 
     def extract_batch(self, kinds, istarts, iends, iposs, win_counts,

@@ -184,21 +184,36 @@ static int bgzf_read(bgzf_t *z, void *out, int n) {
 }
 
 /* ------------------------------------------------------------------ */
-/* BAI                                                                  */
+/* BAM index: BAI (uncompressed, min_shift=14 depth=5 + linear index)   */
+/* and CSI (BGZF-compressed, parameterized binning, per-bin loffset) —  */
+/* htslib's sam_index_load transparently accepts both (SURVEY.md §2.13);*/
+/* so does this reader: .bai is tried first, then .csi.                 */
 
 typedef struct { uint64_t beg, end; } chunk_t;
-typedef struct { uint32_t bin; int32_t n; chunk_t *chunks; } bin_t;
+typedef struct { uint32_t bin; int32_t n; uint64_t loffset; chunk_t *chunks; } bin_t;
 typedef struct {
     int32_t n_bin;
-    bin_t *bins;
+    bin_t *bins;       /* sorted by bin id (binary-searchable) */
     int32_t n_intv;
-    uint64_t *ioffset;
+    uint64_t *ioffset; /* 16 kb linear index (BAI only) */
 } ref_idx_t;
 
 typedef struct {
     int32_t n_ref;
     ref_idx_t *refs;
+    int min_shift;     /* BAI: 14 */
+    int depth;         /* BAI: 5  */
 } bai_t;
+
+static int bin_cmp(const void *a, const void *b) {
+    uint32_t x = ((const bin_t *)a)->bin, y = ((const bin_t *)b)->bin;
+    return x < y ? -1 : (x > y ? 1 : 0);
+}
+
+static void idx_sort_bins(bai_t *idx) {
+    for (int r = 0; r < idx->n_ref; r++)
+        qsort(idx->refs[r].bins, idx->refs[r].n_bin, sizeof(bin_t), bin_cmp);
+}
 
 static int bai_load(bai_t *idx, const char *path) {
     FILE *fp = fopen(path, "rb");
@@ -206,6 +221,8 @@ static int bai_load(bai_t *idx, const char *path) {
     char magic[4];
     if (fread(magic, 1, 4, fp) != 4 || memcmp(magic, "BAI\1", 4)) { fclose(fp); return -1; }
     if (fread(&idx->n_ref, 4, 1, fp) != 1) { fclose(fp); return -1; }
+    idx->min_shift = 14;
+    idx->depth = 5;
     idx->refs = calloc(idx->n_ref, sizeof(ref_idx_t));
     for (int r = 0; r < idx->n_ref; r++) {
         ref_idx_t *ri = &idx->refs[r];
@@ -215,6 +232,7 @@ static int bai_load(bai_t *idx, const char *path) {
             bin_t *bn = &ri->bins[b];
             if (fread(&bn->bin, 4, 1, fp) != 1) goto fail;
             if (fread(&bn->n, 4, 1, fp) != 1) goto fail;
+            bn->loffset = 0;
             bn->chunks = malloc(sizeof(chunk_t) * bn->n);
             if (fread(bn->chunks, sizeof(chunk_t), bn->n, fp) != (size_t)bn->n) goto fail;
         }
@@ -223,10 +241,61 @@ static int bai_load(bai_t *idx, const char *path) {
         if (ri->n_intv && fread(ri->ioffset, 8, ri->n_intv, fp) != (size_t)ri->n_intv) goto fail;
     }
     fclose(fp);
+    idx_sort_bins(idx);
     return 0;
 fail:
     fclose(fp);
     return -1;
+}
+
+/* CSI: same bin/chunk model, BGZF-compressed, binning parameterized by
+ * (min_shift, depth), per-bin loffset instead of a linear index. */
+static int csi_load(bai_t *idx, const char *path) {
+    bgzf_t z;
+    z.fp = fopen(path, "rb");
+    if (!z.fp) return -1;
+    if (bgzf_init(&z) != 0) { fclose(z.fp); return -1; }
+    int ok = -1;
+    char magic[4];
+    int32_t l_aux;
+    if (bgzf_load_block(&z, 0) != 0) goto out;
+    if (bgzf_read(&z, magic, 4) != 4 || memcmp(magic, "CSI\1", 4)) goto out;
+    int32_t ms, dp;
+    if (bgzf_read(&z, &ms, 4) != 4) goto out;
+    if (bgzf_read(&z, &dp, 4) != 4) goto out;
+    if (bgzf_read(&z, &l_aux, 4) != 4) goto out;
+    while (l_aux > 0) {
+        char skip[4096];
+        int take = l_aux < (int)sizeof(skip) ? l_aux : (int)sizeof(skip);
+        if (bgzf_read(&z, skip, take) != take) goto out;
+        l_aux -= take;
+    }
+    if (bgzf_read(&z, &idx->n_ref, 4) != 4) goto out;
+    idx->min_shift = ms;
+    idx->depth = dp;
+    idx->refs = calloc(idx->n_ref, sizeof(ref_idx_t));
+    for (int r = 0; r < idx->n_ref; r++) {
+        ref_idx_t *ri = &idx->refs[r];
+        if (bgzf_read(&z, &ri->n_bin, 4) != 4) goto out;
+        ri->bins = calloc(ri->n_bin, sizeof(bin_t));
+        for (int b = 0; b < ri->n_bin; b++) {
+            bin_t *bn = &ri->bins[b];
+            if (bgzf_read(&z, &bn->bin, 4) != 4) goto out;
+            if (bgzf_read(&z, &bn->loffset, 8) != 8) goto out;
+            if (bgzf_read(&z, &bn->n, 4) != 4) goto out;
+            bn->chunks = malloc(sizeof(chunk_t) * bn->n);
+            if (bgzf_read(&z, bn->chunks, (int)(sizeof(chunk_t) * bn->n))
+                != (int)(sizeof(chunk_t) * bn->n)) goto out;
+        }
+        ri->n_intv = 0;
+        ri->ioffset = NULL;
+    }
+    idx_sort_bins(idx);
+    ok = 0;
+out:
+    fclose(z.fp);
+    free(z.slots);
+    return ok;
 }
 
 static void bai_free(bai_t *idx) {
@@ -238,21 +307,35 @@ static void bai_free(bai_t *idx) {
     free(idx->refs);
 }
 
-/* bins overlapping [beg, end), appended to out (caller-sized >= 37450) */
-static int overlap_bins(int64_t beg, int64_t end, uint32_t *out) {
-    int n = 0;
-    out[n++] = 0;
-    if (beg >= end) return n;
-    end--;
-    static const struct { int shift; uint32_t off; } L[] = {
-        {26, 1}, {23, 9}, {20, 73}, {17, 585}, {14, 4681},
-    };
-    for (int l = 0; l < 5; l++) {
-        uint32_t lo = L[l].off + (uint32_t)(beg >> L[l].shift);
-        uint32_t hi = L[l].off + (uint32_t)(end >> L[l].shift);
-        for (uint32_t k = lo; k <= hi; k++) out[n++] = k;
+static bin_t *find_bin(ref_idx_t *ri, uint32_t want) {
+    int lo = 0, hi = ri->n_bin - 1;
+    while (lo <= hi) {
+        int mid = (lo + hi) / 2;
+        uint32_t v = ri->bins[mid].bin;
+        if (v == want) return &ri->bins[mid];
+        if (v < want) lo = mid + 1; else hi = mid - 1;
     }
-    return n;
+    return NULL;
+}
+
+/* bins overlapping [beg, end) for (min_shift, depth) binning, appended
+ * to out (vec of uint32).  The CSI generalization of the classic BAI
+ * reg2bins table. */
+static void overlap_bins(int64_t beg, int64_t end, int min_shift, int depth,
+                         vec_t *out) {
+    *(uint32_t *)vec_push(out, 1) = 0;
+    if (beg >= end) return;
+    end--;
+    int s = min_shift + depth * 3;
+    uint32_t t = 0;
+    for (int l = 1; l <= depth; l++) {
+        s -= 3;
+        t += 1u << ((l - 1) * 3);
+        uint32_t lo = t + (uint32_t)(beg >> s);
+        uint32_t hi = t + (uint32_t)(end >> s);
+        for (uint32_t k = lo; k <= hi; k++)
+            *(uint32_t *)vec_push(out, 1) = k;
+    }
 }
 
 static int chunk_cmp(const void *a, const void *b) {
@@ -278,9 +361,15 @@ typedef struct {
     vec_t lens;     /* int32 flattened */
     uint8_t *rec;   /* record scratch */
     size_t rec_cap;
-    /* per-handle bin scratch: handles are used from multiple threads
+    /* per-handle scratch: handles are used from multiple threads
        (one handle per producer thread), so no function-static state */
-    uint32_t binbuf[40960];
+    vec_t binvec;   /* uint32 overlapping-bin scratch */
+    /* reference names (BAM header), for name-based tid lookup */
+    char **ref_names;
+    /* sticky decode-error detail; "" = no error.  A corrupt/truncated
+       BAM must FAIL the fetch, never silently return partial results
+       (htslib errors there too; reference use at audit.c:270-272). */
+    char errmsg[256];
 } svbam_t;
 
 static int32_t rd_i32(const uint8_t *p) { int32_t v; memcpy(&v, p, 4); return v; }
@@ -309,19 +398,28 @@ void *svbam_open(const char *path) {
         }
     }
     if (bgzf_read(&b->z, &b->n_ref, 4) != 4) goto fail;
+    b->ref_names = calloc(b->n_ref ? b->n_ref : 1, sizeof(char *));
     for (int i = 0; i < b->n_ref; i++) {
         int32_t l_name, l_ref;
         char name[1024];
         if (bgzf_read(&b->z, &l_name, 4) != 4) goto fail;
-        if (l_name > (int)sizeof(name)) goto fail;
+        if (l_name > (int)sizeof(name) || l_name < 1) goto fail;
         if (bgzf_read(&b->z, name, l_name) != l_name) goto fail;
         if (bgzf_read(&b->z, &l_ref, 4) != 4) goto fail;
+        name[l_name - 1] = 0;  /* NUL-terminated per spec; make sure */
+        b->ref_names[i] = strdup(name);
     }
     b->data_voffset = bgzf_tell(&b->z);
 
+    /* htslib's sam_index_load tries .bai then .csi; mirror that. */
     char ipath[4096];
     snprintf(ipath, sizeof(ipath), "%s.bai", path);
     b->has_idx = bai_load(&b->idx, ipath) == 0;
+    if (!b->has_idx) {
+        snprintf(ipath, sizeof(ipath), "%s.csi", path);
+        b->has_idx = csi_load(&b->idx, ipath) == 0;
+    }
+    vec_init(&b->binvec, 4);
 
     vec_init(&b->pos, 8); vec_init(&b->nops, 4); vec_init(&b->opoff, 8);
     vec_init(&b->ops, 1); vec_init(&b->lens, 4);
@@ -329,6 +427,10 @@ void *svbam_open(const char *path) {
 fail:
     fclose(b->z.fp);
     free(b->z.slots);
+    if (b->ref_names) {
+        for (int i = 0; i < b->n_ref; i++) free(b->ref_names[i]);
+        free(b->ref_names);
+    }
     free(b);
     return NULL;
 }
@@ -341,16 +443,52 @@ void svbam_close(void *h) {
     if (b->has_idx) bai_free(&b->idx);
     vec_free(&b->pos); vec_free(&b->nops); vec_free(&b->opoff);
     vec_free(&b->ops); vec_free(&b->lens);
+    vec_free(&b->binvec);
+    if (b->ref_names) {
+        for (int i = 0; i < b->n_ref; i++) free(b->ref_names[i]);
+        free(b->ref_names);
+    }
     free(b->rec);
     free(b);
 }
 
 int32_t svbam_nref(void *h) { return ((svbam_t *)h)->n_ref; }
 
-/* Fetch one region; returns #reads (or -1). Buffers are valid until the
- * next fetch.  Semantics identical to the htslib iterator: linear-index
- * lower bound, file-order scan, overlap test pos < end && endpos > beg,
- * stop at pos >= end. */
+const char *svbam_ref_name(void *h, int32_t tid) {
+    svbam_t *b = h;
+    if (tid < 0 || tid >= b->n_ref || !b->ref_names) return "";
+    return b->ref_names[tid] ? b->ref_names[tid] : "";
+}
+
+/* tid for a reference name; -1 if absent.  Accepts an exact match or a
+ * "chr"-prefix difference in either direction (BAM says "chr1", VCF
+ * says "1", or vice versa) — htslib callers conventionally handle that
+ * themselves; folding it in here keeps --chrom-by-name ergonomic. */
+int32_t svbam_tid(void *h, const char *name) {
+    svbam_t *b = h;
+    if (!b->ref_names || !name) return -1;
+    for (int32_t i = 0; i < b->n_ref; i++) {
+        const char *rn = b->ref_names[i];
+        if (!rn) continue;
+        if (strcmp(rn, name) == 0) return i;
+        if (strncmp(rn, "chr", 3) == 0 && strcmp(rn + 3, name) == 0) return i;
+        if (strncmp(name, "chr", 3) == 0 && strcmp(rn, name + 3) == 0) return i;
+    }
+    return -1;
+}
+
+const char *svbam_error(void *h) { return ((svbam_t *)h)->errmsg; }
+
+/* Fetch one region; returns #reads, or -1 with b->errmsg set on any
+ * decode failure.  A corrupt or truncated BAM must surface an error,
+ * never a silently-partial read set (htslib errors likewise).  Buffers
+ * are valid until the next fetch.  Iterator semantics identical to
+ * htslib: linear-index lower bound, file-order scan, overlap test
+ * pos < end && endpos > beg, stop at pos >= end. */
+#define FETCH_ERR(b, ...) do { \
+    snprintf((b)->errmsg, sizeof((b)->errmsg), __VA_ARGS__); \
+} while (0)
+
 static int64_t fetch_into(svbam_t *b, int32_t tid, int64_t beg, int64_t end) {
     size_t reads_before = b->pos.len;
     if (!b->has_idx || tid < 0 || tid >= b->n_ref) return 0;
@@ -359,27 +497,25 @@ static int64_t fetch_into(svbam_t *b, int32_t tid, int64_t beg, int64_t end) {
     ref_idx_t *ri = &b->idx.refs[tid];
 
     uint64_t min_off = 0;
-    {
+    if (b->idx.min_shift == 14 && ri->n_intv > 0) {  /* BAI linear index */
         int64_t win = beg >> 14;
-        if (ri->n_intv > 0) {
-            if (win >= ri->n_intv) win = ri->n_intv - 1;
-            min_off = ri->ioffset[win];
-        }
+        if (win >= ri->n_intv) win = ri->n_intv - 1;
+        min_off = ri->ioffset[win];
     }
 
-    uint32_t *binbuf = b->binbuf;
-    int nb = overlap_bins(beg, end, binbuf);
+    b->binvec.len = 0;
+    overlap_bins(beg, end, b->idx.min_shift, b->idx.depth, &b->binvec);
+    const uint32_t *binbuf = b->binvec.data;
+    size_t nb = b->binvec.len;
     vec_t chunks; vec_init(&chunks, sizeof(chunk_t));
-    for (int i = 0; i < nb; i++) {
-        uint32_t want = binbuf[i];
-        for (int j = 0; j < ri->n_bin; j++) {
-            if (ri->bins[j].bin != want) continue;
-            for (int c = 0; c < ri->bins[j].n; c++) {
-                chunk_t ch = ri->bins[j].chunks[c];
-                if (ch.end <= min_off) continue;
-                if (ch.beg < min_off) ch.beg = min_off;
-                *(chunk_t *)vec_push(&chunks, 1) = ch;
-            }
+    for (size_t i = 0; i < nb; i++) {
+        bin_t *bn = find_bin(ri, binbuf[i]);
+        if (!bn) continue;
+        for (int c = 0; c < bn->n; c++) {
+            chunk_t ch = bn->chunks[c];
+            if (ch.end <= min_off) continue;
+            if (ch.beg < min_off) ch.beg = min_off;
+            *(chunk_t *)vec_push(&chunks, 1) = ch;
         }
     }
     qsort(chunks.data, chunks.len, sizeof(chunk_t), chunk_cmp);
@@ -392,17 +528,41 @@ static int64_t fetch_into(svbam_t *b, int32_t tid, int64_t beg, int64_t end) {
         } else cs[m++] = cs[i];
     }
 
-    for (size_t ci = 0; ci < m; ci++) {
-        if (bgzf_seek(&b->z, (int64_t)cs[ci].beg) != 0) break;
+    int64_t err = 0;
+    for (size_t ci = 0; ci < m && !err; ci++) {
+        if (bgzf_seek(&b->z, (int64_t)cs[ci].beg) != 0) {
+            FETCH_ERR(b, "BGZF seek to chunk offset %lld failed "
+                      "(corrupt or truncated BAM/index)",
+                      (long long)cs[ci].beg);
+            err = -1;
+            break;
+        }
         while ((uint64_t)bgzf_tell(&b->z) < cs[ci].end) {
             int32_t bsz;
-            if (bgzf_read(&b->z, &bsz, 4) != 4) goto done;
-            if (bsz <= 0) goto done;
+            int got = bgzf_read(&b->z, &bsz, 4);
+            if (got != 4) {
+                FETCH_ERR(b, "short read of record length mid-chunk "
+                          "(%d/4 bytes): corrupt or truncated BAM", got);
+                err = -1;
+                goto done;
+            }
+            if (bsz < 32 || bsz > (64 << 20)) {
+                FETCH_ERR(b, "implausible BAM record size %d: corrupt BAM",
+                          bsz);
+                err = -1;
+                goto done;
+            }
             if ((size_t)bsz > b->rec_cap) {
                 b->rec_cap = bsz * 2;
                 b->rec = realloc(b->rec, b->rec_cap);
             }
-            if (bgzf_read(&b->z, b->rec, bsz) != bsz) goto done;
+            got = bgzf_read(&b->z, b->rec, bsz);
+            if (got != bsz) {
+                FETCH_ERR(b, "short BAM record read (%d/%d bytes): "
+                          "corrupt or truncated BAM", got, bsz);
+                err = -1;
+                goto done;
+            }
             int32_t rtid = rd_i32(b->rec);
             int64_t rpos = rd_i32(b->rec + 4);
             if (rtid != tid || rpos >= end) goto done;
@@ -410,6 +570,13 @@ static int64_t fetch_into(svbam_t *b, int32_t tid, int64_t beg, int64_t end) {
             int l_read_name = lrn_flag & 0xff;
             uint32_t ncig_flag = rd_u32(b->rec + 12);
             int n_cigar = ncig_flag & 0xffff;
+            if (32 + l_read_name + 4 * (int64_t)n_cigar > bsz) {
+                FETCH_ERR(b, "BAM record fields exceed record size "
+                          "(%d ops, %d-byte record): corrupt BAM",
+                          n_cigar, bsz);
+                err = -1;
+                goto done;
+            }
             const uint8_t *cig = b->rec + 32 + l_read_name;
             /* endpos */
             int64_t ref_len = 0;
@@ -435,12 +602,14 @@ static int64_t fetch_into(svbam_t *b, int32_t tid, int64_t beg, int64_t end) {
     }
 done:
     vec_free(&chunks);
+    if (err) return -1;
     return (int64_t)(b->pos.len - reads_before);
 }
 
 int64_t svbam_fetch(void *h, int32_t tid, int64_t beg, int64_t end) {
     svbam_t *b = h;
     b->pos.len = b->nops.len = b->opoff.len = b->ops.len = b->lens.len = 0;
+    b->errmsg[0] = 0;
     return fetch_into(b, tid, beg, end);
 }
 
@@ -453,8 +622,11 @@ int64_t svbam_fetch_batch(void *h, int32_t n, const int32_t *tids,
                           int64_t *win_counts) {
     svbam_t *b = h;
     b->pos.len = b->nops.len = b->opoff.len = b->ops.len = b->lens.len = 0;
-    for (int32_t i = 0; i < n; i++)
+    b->errmsg[0] = 0;
+    for (int32_t i = 0; i < n; i++) {
         win_counts[i] = fetch_into(b, tids[i], begs[i], ends[i]);
+        if (win_counts[i] < 0) return -1;  /* errmsg set by fetch_into */
+    }
     return (int64_t)b->pos.len;
 }
 
