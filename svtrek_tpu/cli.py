@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
                       help="[TPU] consensus candidate capacity per window")
     audt.add_argument("--no-native-io", action="store_true",
                       help="[TPU] disable the C BAM reader fast path")
+    audt.add_argument("--chrom-by-name", action="store_true",
+                      help="[TPU] resolve VCF CHROM names against the BAM "
+                      "header (chr-prefix tolerant) instead of the "
+                      "reference's numeric tid = chrom-1 assumption; "
+                      "also prints the CHROM name in result lines")
     audt.add_argument("--extract", choices=("auto", "host", "device"),
                       default="auto",
                       help="[TPU] evidence-walk placement: host = C walk "
@@ -134,6 +139,7 @@ def main(argv=None) -> int:
             batch_windows=args.batch_windows,
             max_candidates=args.max_candidates,
             use_native_io=not args.no_native_io,
+            chrom_by_name=args.chrom_by_name,
             extract=args.extract,
             cand_width=args.cand_width,
             sweep_width=args.sweep_width,

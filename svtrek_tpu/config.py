@@ -33,6 +33,8 @@ class AudtConfig:
     max_candidates: int = 1024      # consensus candidate cap per window
     max_read_candidates: int = 64   # per-read candidate compaction width
     use_native_io: bool = True      # prefer the C BAM reader when built
+    chrom_by_name: bool = False     # resolve VCF CHROM via the BAM header
+                                    # (off = reference parity: tid=chrom-1)
     extract: str = "auto"           # evidence walk placement: "host" (C
                                     # walk, ship candidates), "device"
                                     # (ship packed CIGARs), "auto" = host

@@ -189,8 +189,11 @@ class BamReader:
         return self._index
 
     def tid_of(self, name: str) -> int:
+        """tid for a reference name; -1 if absent.  Tolerates a
+        chr-prefix difference in either direction (matches the native
+        reader's svbam_tid)."""
         for i, (n, _) in enumerate(self.references):
-            if n == name:
+            if n == name or n == "chr" + name or "chr" + n == name:
                 return i
         return -1
 

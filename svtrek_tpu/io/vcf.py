@@ -40,6 +40,7 @@ class VcfTask:
     end: int                 # uint32 (possibly wrapped; quirk)
     sv_type: SVType
     raw: str = ""            # original data line (for refined-VCF output)
+    chrom_name: str = ""     # raw CHROM field (--chrom-by-name extension)
 
 
 @dataclass
@@ -150,7 +151,8 @@ def parse_vcf_line(line_index: int, line: str) -> VcfTask | VcfSkip:
             return VcfSkip(line_index, None)
 
     if sv_type in (SVType.INS, SVType.DEL, SVType.INV):
-        return VcfTask(line_index, chrom_index, pos, end, sv_type, raw=line)
+        return VcfTask(line_index, chrom_index, pos, end, sv_type, raw=line,
+                       chrom_name=chrom_s)
     # DUP/TRA/BND/UNKNOWN → "[ERROR] Unkown type." (typo preserved,
     # audit.c:234).
     return VcfSkip(line_index, "[ERROR] Unkown type.")

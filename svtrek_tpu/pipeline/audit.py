@@ -53,10 +53,13 @@ class AuditResult:
     rstart: int = NA32
     rend: int = NA32
     emit: bool = True
+    chrom_label: object = None  # --chrom-by-name: print the CHROM name
 
     def line(self) -> str:
+        chrom = (self.chrom_label if self.chrom_label is not None
+                 else self.task.chrom_index)
         return format_result(
-            self.task.sv_type, self.task.chrom_index, self.task.pos,
+            self.task.sv_type, chrom, self.task.pos,
             self.task.end, self.rstart, self.rend,
         )
 
@@ -356,8 +359,23 @@ def run_audit(cfg: AudtConfig, out=None, err=None) -> list[str]:
         fetch._reader = reader  # keep the handle alive with the closure
         return fetch
 
-    # Fail fast (bad BAM path) before spinning up the pool.
-    make_fetch()
+    # Fail fast (bad BAM path) before spinning up the pool.  With
+    # --chrom-by-name, keep the reader to resolve CHROM names against
+    # the BAM header (the extension over the reference's tid = chrom-1
+    # numeric assumption, refinement.c:114; SURVEY.md 'hard parts').
+    probe = make_fetch()
+    tid_by_name = None
+    if getattr(cfg, "chrom_by_name", False):
+        reader = probe._reader
+        cache: dict[str, int] = {}
+
+        def tid_by_name(name: str) -> int:  # noqa: F811
+            if name not in cache:
+                if hasattr(reader, "tid_by_name"):
+                    cache[name] = reader.tid_by_name(name)
+                else:
+                    cache[name] = reader.tid_of(name)
+            return cache[name]
 
     print("[INFO] Started processing variation file.", file=out)
 
@@ -377,7 +395,17 @@ def run_audit(cfg: AudtConfig, out=None, err=None) -> list[str]:
     all_windows = []
     for t in tasks:
         wins, emit = windows_for_task(t, cfg)
-        results[t.line_index] = AuditResult(t, emit=emit)
+        res = AuditResult(t, emit=emit)
+        if tid_by_name is not None:
+            tid = tid_by_name(t.chrom_name)
+            res.chrom_label = t.chrom_name
+            if tid < 0:
+                print(f"[ERROR] CHROM {t.chrom_name!r} not in the BAM "
+                      f"header; record {t.line_index} refines to NA.",
+                      file=err)
+            for w in wins:
+                w.tid = tid
+        results[t.line_index] = res
         all_windows.extend(wins)
     stats.windows = len(all_windows)
     stats.parse_s = time.perf_counter() - t0

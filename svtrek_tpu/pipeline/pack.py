@@ -199,6 +199,15 @@ class WindowSpec:
     imprecise_pos: int
     record_index: int      # which VcfTask this belongs to
     slot: int              # 0 = start/point result, 1 = end result
+    tid: int = -2          # explicit BAM tid (--chrom-by-name); -2 =
+                           # the reference's tid = chrom-1 assumption
+
+
+def window_tid(w: WindowSpec) -> int:
+    """BAM tid for a window: the header-resolved tid when set
+    (--chrom-by-name extension), else the reference's numeric mapping
+    tid = chrom - 1 (refinement.c:114)."""
+    return w.tid if w.tid != -2 else w.chrom_index - 1
 
 
 @dataclass
@@ -286,7 +295,7 @@ def query_region(fetch, w: WindowSpec):
     """BAM region fetch with the reference's coordinate mapping:
     tid = chrom-1, beg = start-1, end = end-1 in uint32 arithmetic
     (refinement.c:114)."""
-    tid = w.chrom_index - 1
+    tid = window_tid(w)
     beg = C.u32(w.inter_start - 1)
     end = C.u32(w.inter_end - 1)
     if tid < 0:
@@ -354,11 +363,11 @@ def pack_chunk_native(window_chunk: Sequence[WindowSpec], reader, cfg
     begs = np.empty(n_win, np.int64)
     ends = np.empty(n_win, np.int64)
     for i, w in enumerate(window_chunk):
-        if w.kind == KIND_POINT or w.chrom_index - 1 < 0:
+        if w.kind == KIND_POINT or window_tid(w) < 0:
             tids[i] = -1  # refine_point collects nothing; skip I/O
             begs[i] = ends[i] = 0
         else:
-            tids[i] = w.chrom_index - 1
+            tids[i] = window_tid(w)
             begs[i] = int(C.u32(w.inter_start - 1))
             ends[i] = int(C.u32(w.inter_end - 1))
 
@@ -476,11 +485,11 @@ def pack_chunk_cand(window_chunk: Sequence[WindowSpec], reader, cfg,
         istart[i] = int(C.u32(w.inter_start))
         iend[i] = int(C.u32(w.inter_end))
         ipos[i] = int(C.u32(w.imprecise_pos))
-        if w.kind == KIND_POINT or w.chrom_index - 1 < 0:
+        if w.kind == KIND_POINT or window_tid(w) < 0:
             tids[i] = -1  # refine_point collects nothing; skip I/O
             begs[i] = ends[i] = 0
         else:
-            tids[i] = w.chrom_index - 1
+            tids[i] = window_tid(w)
             begs[i] = int(C.u32(w.inter_start - 1))
             ends[i] = int(C.u32(w.inter_end - 1))
 
