@@ -285,6 +285,44 @@ def bench_e2e():
     }
 
 
+def bench_scan():
+    """Windowed INS discovery (scan mode) over the e2e fixture's BAM:
+    tiles/s through the all-C fetch+extract fast path.  vs_baseline
+    compares against the generic python-fetch path on a 10% slice,
+    extrapolated (the reference's routine is dead code with no number
+    to cite; sliding_window.c:8-97)."""
+    import io as _io
+    import dataclasses
+    import time as _t
+
+    from svtrek_tpu.config import ScanConfig
+    from svtrek_tpu.pipeline.scan import run_scan, scan_tiles
+
+    bam = "/tmp/svtrek_bench_e2e/bench.bam"
+    span = 20_000_000
+    cfg = ScanConfig(bam_file=bam, chrom=1, start=1, end=span,
+                     window_size=1000, slide_size=1, output_file="")
+    n_tiles = len(scan_tiles(cfg))
+    run_scan(cfg, out=_io.StringIO())  # warm/compile
+    t0 = _t.perf_counter()
+    run_scan(cfg, out=_io.StringIO())
+    rate = n_tiles / (_t.perf_counter() - t0)
+
+    slice_cfg = dataclasses.replace(cfg, end=span // 10 + 1,
+                                    use_native_io=False)
+    n_slice = len(scan_tiles(slice_cfg))
+    t0 = _t.perf_counter()
+    run_scan(slice_cfg, out=_io.StringIO())
+    py_rate = n_slice / (_t.perf_counter() - t0)
+
+    return {
+        "metric": "scan_windows_per_sec",
+        "value": round(rate, 1),
+        "unit": "windows/s",
+        "vs_baseline": round(rate / py_rate, 3) if py_rate else 0.0,
+    }
+
+
 def bench_poa():
     """Effective banded-POA DP cells/s + scalar-anchor baseline
     (profile_poa.py flow)."""
@@ -357,7 +395,7 @@ def bench_poa():
 def main():
     result = bench_kernel()
     extra = []
-    for fn in (bench_e2e, bench_poa):
+    for fn in (bench_e2e, bench_scan, bench_poa):
         try:
             extra.append(fn())
         except Exception as e:  # keep the headline alive on partial failure

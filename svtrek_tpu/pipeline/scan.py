@@ -129,6 +129,73 @@ def run_scan_tiles(
     return results
 
 
+def run_scan_tiles_native(
+    tiles: list[tuple[int, int]],
+    reader,
+    cfg: ScanConfig,
+) -> list[tuple[int, int]]:
+    """audt-grade host path for scan: one C fetch_batch + one C
+    extract_batch call per chunk (GIL released throughout), the strided
+    cluster scan batched on device — no per-read Python objects
+    (VERDICT round-1 item 5).  Tiles whose evidence overflows K are
+    re-fetched and scanned by the scalar oracle (exactness preserved)."""
+    results: list[tuple[int, int]] = [(-1, 0)] * len(tiles)
+    K = _next_pow2(min(cfg.max_candidates, 8192), 64)
+    tid = cfg.chrom - 1
+
+    for base in range(0, len(tiles), cfg.batch_windows):
+        chunk = tiles[base : base + cfg.batch_windows]
+        n = len(chunk)
+        tids = np.full(n, tid if tid >= 0 else -1, np.int32)
+        begs = np.fromiter((int(C.u32(s - 1)) for s, _ in chunk),
+                           np.int64, n)
+        ends = np.fromiter((int(C.u32(e - 1)) for _, e in chunk),
+                           np.int64, n)
+        total, win_counts = reader.fetch_batch(tids, begs, ends)
+        kinds = np.full(n, KIND_INS, np.int32)
+        istart = np.fromiter((int(C.u32(s)) for s, _ in chunk), np.int64, n)
+        iend = np.fromiter((int(C.u32(e)) for _, e in chunk), np.int64, n)
+        ipos = np.zeros(n, np.int64)
+        locs, counts, _ = reader.extract_batch(
+            kinds, istart, iend, ipos, win_counts, K,
+            cfg.consensus_min_count, cfg.consensus_interval,
+            cfg.consensus_interval_range,
+        )
+
+        B = max(cfg.batch_windows, n)
+        if B != n:
+            locs_p = np.full((B, K), 0x7FFFFFFF, np.int32)
+            locs_p[:n] = locs
+            counts_p = np.zeros(B, np.int32)
+            counts_p[:n] = np.minimum(counts, K)
+        else:
+            locs_p = locs
+            counts_p = np.minimum(counts, K)
+
+        best, support = window_scan_batch(
+            locs_p, counts_p,
+            min_count=cfg.consensus_min_count,
+            window_size=cfg.window_size, slide_size=cfg.slide_size,
+        )
+        best = np.asarray(best)
+        support = np.asarray(support)
+        for b, (s, e) in enumerate(chunk):
+            if counts[b] > K:
+                # Rare overflow: re-fetch this tile and run the oracle.
+                packed = reader.fetch_packed(
+                    int(tids[b]), int(begs[b]), int(ends[b]))
+                from .pack import PackedReads
+
+                evidence = extract_candidates(
+                    KIND_INS, PackedReads(*packed).to_list(), s, e)
+                results[base + b] = window_scan(
+                    evidence, cfg.consensus_min_count,
+                    cfg.window_size, cfg.slide_size)
+            else:
+                results[base + b] = (int(best[b]), int(support[b]))
+    return results
+
+
 def run_scan(cfg: ScanConfig, out=None, err=None) -> tuple[int, list[str]]:
     """Full scan pipeline.  Returns (overall_best_pos or -1, lines)."""
     out = out or sys.stdout
@@ -139,16 +206,21 @@ def run_scan(cfg: ScanConfig, out=None, err=None) -> tuple[int, list[str]]:
     reader = None
     if cfg.use_native_io:
         reader = native_bam_reader(cfg.bam_file)
-    if reader is None:
-        reader = BamReader(cfg.bam_file)
-
-    def fetch(tid, beg, end):
-        return [
-            (rec.pos, rec.cigar) for rec in reader.fetch(tid, int(beg), int(end))
-        ]
 
     tiles = scan_tiles(cfg)
-    results = run_scan_tiles(tiles, fetch, cfg)
+    if reader is not None and hasattr(reader, "extract_batch"):
+        results = run_scan_tiles_native(tiles, reader, cfg)
+    else:
+        if reader is None:
+            reader = BamReader(cfg.bam_file)
+
+        def fetch(tid, beg, end):
+            return [
+                (rec.pos, rec.cigar)
+                for rec in reader.fetch(tid, int(beg), int(end))
+            ]
+
+        results = run_scan_tiles(tiles, fetch, cfg)
 
     lines = []
     best_overall, support_overall = -1, 0

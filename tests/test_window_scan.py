@@ -92,6 +92,14 @@ def test_scan_pipeline_end_to_end(tmp_path):
     assert abs(best - 49_999) <= 10
     assert any("INS Discovery in window" in l for l in lines)
 
+    # The all-C fast path (fetch_batch + extract_batch) and the generic
+    # python-fetch path must produce identical output lines.
+    import dataclasses
+
+    best2, lines2 = run_scan(
+        dataclasses.replace(cfg, use_native_io=False), out=_Null())
+    assert (best2, lines2) == (best, lines)
+
 
 class _Null:
     def write(self, *_a):  # pragma: no cover - trivial sink
