@@ -4,12 +4,26 @@ Fills the reference's consensus gap: abPOA is declared as a submodule and
 built by its Makefile but never referenced by any reference code
 (SURVEY.md §2.14), and the disc-mode MSA step is a TODO
 (discover.c:401).  There is therefore no reference behavior to match —
-this module defines it:
+this module defines it.
 
-  star-MSA consensus: pick the medoid sequence (by length), align every
-  member to it with an affine-free banded edit DP, project member bases
-  onto medoid columns, and take the per-column majority (gap majority
-  deletes the column).
+The algorithm is an **iteratively-refined star MSA with insertion
+recovery** (NOT a partial-order graph alignment — the module keeps the
+"poa" name only because it fills the reference's abPOA-shaped slot and
+the BASELINE.md metric is named "POA DP cells/sec"):
+
+  1. mode selection — single-linkage cluster member lengths; keep the
+     majority mode (robust to bimodal insert populations, where a
+     global length-medoid would sit between two alleles);
+  2. star alignment — align every member to the mode's length-medoid
+     with a banded edit DP, projecting member bases onto medoid columns
+     AND collecting inserted segments at column boundaries;
+  3. voting — per-column base majority (gap majority deletes the
+     column) plus boundary-insert majority (an insert supported by more
+     than half the members is emitted — this recovers true bases the
+     medoid happens to have deleted);
+  4. iterate — realign everyone to the round-1 consensus and re-vote
+     (the consensus is less noisy than any single member, so round 2
+     fixes medoid-biased columns); stop at a fixed point.
 
 The scalar/host implementation below is the semantic anchor; the batched
 TPU DP kernel (wavefront scan over anti-diagonals; see poa_dp_kernel) is
@@ -33,9 +47,32 @@ def encode(seq: str) -> np.ndarray:
     )
 
 
-def banded_align(target: np.ndarray, query: np.ndarray, band: int):
-    """Global banded alignment; returns per-target-column query base
-    (-1 = gap), ignoring query insertions.  O(len(t)·band) cells."""
+def banded_align_ins(target: np.ndarray, query: np.ndarray, band: int):
+    """Global banded alignment; returns (cols, ins) where cols is the
+    per-target-column query base (-1 = gap) and ins[j] is the encoded
+    query segment inserted before target column j (j in 0..m).
+    O(len(t)·band) cells."""
+    cols, ptr, n, m = _banded_dp(target, query, band)
+    ins: list[list[int]] = [[] for _ in range(m + 1)]
+    i, j = n, m
+    while i > 0 or j > 0:
+        p = ptr[i, j]
+        if i > 0 and j > 0 and p == 0:
+            cols[j - 1] = query[i - 1]
+            i -= 1
+            j -= 1
+        elif i > 0 and p == 1:
+            ins[j].append(int(query[i - 1]))
+            i -= 1
+        else:
+            j -= 1
+    for seg in ins:
+        seg.reverse()
+    return cols, ins
+
+
+def _banded_dp(target: np.ndarray, query: np.ndarray, band: int):
+    """Shared DP fill; returns (cols placeholder, ptr, n, m)."""
     n, m = len(query), len(target)
     band = max(band, abs(n - m) + 1)
     NEG = -(10 ** 9)
@@ -63,8 +100,14 @@ def banded_align(target: np.ndarray, query: np.ndarray, band: int):
                 best, p = left, 2
             score[i, j] = best
             ptr[i, j] = p
-    # traceback → target-column bases
     cols = np.full(m, -1, np.int8)
+    return cols, ptr, n, m
+
+
+def banded_align(target: np.ndarray, query: np.ndarray, band: int):
+    """Global banded alignment; returns per-target-column query base
+    (-1 = gap), ignoring query insertions.  O(len(t)·band) cells."""
+    cols, ptr, n, m = _banded_dp(target, query, band)
     i, j = n, m
     while i > 0 or j > 0:
         p = ptr[i, j]
@@ -79,28 +122,77 @@ def banded_align(target: np.ndarray, query: np.ndarray, band: int):
     return cols
 
 
+def majority_length_mode(seqs: list[str]) -> list[str]:
+    """Single-linkage cluster member lengths (link when consecutive
+    sorted lengths differ by <= max(10, 10% of the shorter)); return the
+    members of the largest cluster.  Unimodal noisy sets come back
+    whole; bimodal insert populations come back as the majority allele
+    (a global length-medoid would sit between the two)."""
+    order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
+    clusters: list[list[int]] = [[order[0]]]
+    for prev, cur in zip(order, order[1:]):
+        lp, lc = len(seqs[prev]), len(seqs[cur])
+        if lc - lp <= max(10, lp // 10):
+            clusters[-1].append(cur)
+        else:
+            clusters.append([cur])
+    best = max(clusters, key=len)
+    return [seqs[i] for i in sorted(best)]
+
+
+def _vote_round(target_s: str, members: list[str], band: int) -> str:
+    """One star-alignment + voting round against `target_s`."""
+    target = encode(target_s)
+    m = len(target)
+    votes = np.zeros((m, 6), np.int32)          # A C G T N gap
+    from collections import Counter
+
+    ins_votes: list[Counter] = [Counter() for _ in range(m + 1)]
+    for s in members:
+        if s == target_s:
+            votes[np.arange(m), target] += 1
+            continue
+        cols, ins = banded_align_ins(target, encode(s[: 4 * m]), band)
+        gap = cols < 0
+        votes[~gap, cols[~gap]] += 1
+        votes[gap, 5] += 1
+        for j, seg in enumerate(ins):
+            if seg:
+                ins_votes[j]["".join(_BASES[b] for b in seg)] += 1
+
+    winner = votes.argmax(axis=1)
+    half = len(members) // 2
+    out: list[str] = []
+    for j in range(m + 1):
+        if ins_votes[j]:
+            seg, n = ins_votes[j].most_common(1)[0]
+            # An insert supported by a strict majority is true sequence
+            # the target happens to lack (e.g. a medoid deletion).
+            if n > half:
+                out.append(seg)
+        if j < m and winner[j] != 5:
+            out.append(_BASES[winner[j]])
+    return "".join(out)
+
+
 def consensus_sequence(seqs: list[str], band: int = 64,
-                       max_len: int = 4096) -> str:
-    """Star-MSA consensus of the given sequences."""
+                       max_len: int = 4096, rounds: int = 2) -> str:
+    """Iteratively-refined star-MSA consensus (see module docstring)."""
     seqs = [s for s in seqs if s]
     if not seqs:
         return ""
     if len(seqs) == 1:
         return seqs[0]
-    lens = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
-    medoid = seqs[lens[len(lens) // 2]]
-    if len(medoid) > max_len:
-        return medoid
-    target = encode(medoid)
-    m = len(target)
-    votes = np.zeros((m, 6), np.int32)          # A C G T N gap
-    for s in seqs:
-        if s == medoid:
-            votes[np.arange(m), target] += 1
-            continue
-        cols = banded_align(target, encode(s[: 4 * m]), band)
-        gap = cols < 0
-        votes[~gap, cols[~gap]] += 1
-        votes[gap, 5] += 1
-    winner = votes.argmax(axis=1)
-    return "".join(_BASES[w] for w in winner if w != 5)
+    members = majority_length_mode(seqs)
+    if len(members) == 1:
+        return members[0]
+    lens = sorted(range(len(members)), key=lambda i: len(members[i]))
+    cons = members[lens[len(lens) // 2]]        # length-medoid seed
+    if len(cons) > max_len:
+        return cons
+    for _ in range(max(rounds, 1)):
+        new = _vote_round(cons, members, band)
+        if not new or new == cons:
+            break
+        cons = new
+    return cons
