@@ -140,39 +140,59 @@ def majority_length_mode(seqs: list[str]) -> list[str]:
     return [seqs[i] for i in sorted(best)]
 
 
-def _vote_round(target_s: str, members: list[str], band: int) -> str:
-    """One star-alignment + voting round against `target_s`."""
-    target = encode(target_s)
-    m = len(target)
-    votes = np.zeros((m, 6), np.int32)          # A C G T N gap
+def new_vote_state(target: np.ndarray):
+    """(votes [m, 6], ins_votes [m+1] Counters) for one voting round."""
     from collections import Counter
 
-    ins_votes: list[Counter] = [Counter() for _ in range(m + 1)]
-    for s in members:
-        if s == target_s:
-            votes[np.arange(m), target] += 1
-            continue
-        cols, ins = banded_align_ins(target, encode(s[: 4 * m]), band)
-        gap = cols < 0
-        votes[~gap, cols[~gap]] += 1
-        votes[gap, 5] += 1
-        for j, seg in enumerate(ins):
-            if seg:
-                ins_votes[j]["".join(_BASES[b] for b in seg)] += 1
+    m = len(target)
+    return np.zeros((m, 6), np.int32), [Counter() for _ in range(m + 1)]
 
+
+def accumulate_votes(votes, ins_votes, cols, ins_segs) -> None:
+    """Fold one member's alignment into the round state.  ins_segs:
+    decoded insert string per boundary ("" = none)."""
+    gap = cols < 0
+    votes[~gap, cols[~gap]] += 1
+    votes[gap, 5] += 1
+    for j, seg in enumerate(ins_segs):
+        if seg:
+            ins_votes[j][seg] += 1
+
+
+def assemble_consensus(votes, ins_votes, n_members: int) -> str:
+    """Emit the consensus: per-column base majority (gap majority drops
+    the column) + boundary inserts supported by a strict majority (true
+    sequence the target happens to lack, e.g. a medoid deletion)."""
     winner = votes.argmax(axis=1)
-    half = len(members) // 2
+    m = votes.shape[0]
+    half = n_members // 2
     out: list[str] = []
     for j in range(m + 1):
         if ins_votes[j]:
             seg, n = ins_votes[j].most_common(1)[0]
-            # An insert supported by a strict majority is true sequence
-            # the target happens to lack (e.g. a medoid deletion).
             if n > half:
                 out.append(seg)
         if j < m and winner[j] != 5:
             out.append(_BASES[winner[j]])
     return "".join(out)
+
+
+def decode_ins(ins: list[list[int]]) -> list[str]:
+    return ["".join(_BASES[b] for b in seg) for seg in ins]
+
+
+def _vote_round(target_s: str, members: list[str], band: int) -> str:
+    """One star-alignment + voting round against `target_s`."""
+    target = encode(target_s)
+    m = len(target)
+    votes, ins_votes = new_vote_state(target)
+    for s in members:
+        if s == target_s:
+            votes[np.arange(m), target] += 1
+            continue
+        cols, ins = banded_align_ins(target, encode(s[: 4 * m]), band)
+        accumulate_votes(votes, ins_votes, cols, decode_ins(ins))
+    return assemble_consensus(votes, ins_votes, len(members))
 
 
 def consensus_sequence(seqs: list[str], band: int = 64,

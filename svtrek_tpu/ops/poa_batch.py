@@ -46,7 +46,8 @@ def _dp_one(t, m, q, n, band, *, W: int):
 
     t: [M] int8 padded target; q: [N] int8 padded query;
     m, n, band: traced int32 true lengths / band half-width (band <= W).
-    Returns cols [M] int8: query base per target column, -1 = gap.
+    Returns (cols [M] int8: query base per target column, -1 = gap;
+             ins [M+1] int32: inserted-query-base count per boundary).
     """
     M = t.shape[0]
     N = q.shape[0]
@@ -100,10 +101,14 @@ def _dp_one(t, m, q, n, band, *, W: int):
         step, row0, jnp.arange(1, N + 1, dtype=jnp.int32)
     )  # ptr[i-1] = pointer row i, int8 [N, width]
 
-    # Traceback (scalar poa.py:66-79): diag emits the query base onto the
+    # Traceback (scalar poa.py): diag emits the query base onto the
     # target column; row 0 always moves left; column 0 always moves up.
+    # Up moves additionally count an inserted query base at the current
+    # target boundary j (scalar banded_align_ins's ins[j]); the host
+    # reconstructs the actual segments from the counts because the query
+    # is consumed monotonically along the path.
     def tb_step(carry, _):
-        i, j, cols = carry
+        i, j, cols, ins = carry
         active = (i > 0) | (j > 0)
         k = jnp.clip(j - i + W, 0, 2 * W)
         p = ptr[jnp.maximum(i - 1, 0), k]
@@ -115,15 +120,17 @@ def _dp_one(t, m, q, n, band, *, W: int):
         idx = jnp.maximum(j - 1, 0)
         val = jnp.where(dg, q[jnp.maximum(i - 1, 0)], cols[idx])
         cols = cols.at[idx].set(val)
+        ins = ins.at[jnp.clip(j, 0, M)].add(up_.astype(jnp.int32))
         i = i - (dg | up_).astype(i.dtype)
         j = j - (dg | lf).astype(j.dtype)
-        return (i, j, cols), None
+        return (i, j, cols, ins), None
 
     cols0 = jnp.full((M,), -1, jnp.int8)
-    (_, _, cols), _ = jax.lax.scan(
-        tb_step, (n, m, cols0), None, length=N + M
+    ins0 = jnp.zeros((M + 1,), jnp.int32)
+    (_, _, cols, ins), _ = jax.lax.scan(
+        tb_step, (n, m, cols0, ins0), None, length=N + M
     )
-    return cols
+    return cols, ins
 
 
 @functools.partial(jax.jit, static_argnames=("W",))
@@ -138,28 +145,53 @@ def _pow2(n: int, lo: int) -> int:
     return v
 
 
+def _segments_from_counts(query: np.ndarray, cols: np.ndarray,
+                          ins_counts: np.ndarray) -> list[str]:
+    """Reconstruct the inserted query segment per boundary from the
+    per-boundary counts: the global alignment consumes the query
+    monotonically, so boundary j's insert is the next ins_counts[j]
+    unconsumed query bases (identical to the scalar
+    banded_align_ins segments)."""
+    m = len(cols)
+    segs = [""] * (m + 1)
+    c = 0
+    for j in range(m + 1):
+        k = int(ins_counts[j])
+        if k:
+            segs[j] = "".join(_BASES[b] for b in query[c : c + k])
+            c += k
+        if j < m and cols[j] >= 0:
+            c += 1
+    return segs
+
+
 def banded_cols_batch(targets, queries, band: int = 64,
                       band_cap: int = 512):
-    """Batched drop-in for ``banded_align`` over pair lists.
+    """Batched drop-in for ``banded_align_ins`` over pair lists.
 
-    targets/queries: lists of int8 numpy arrays.  Returns a list of cols
-    arrays (len(target) each).  Pairs whose effective band
-    max(band, |n-m|+1) exceeds ``band_cap`` or exceeds the target length
-    fall back to the scalar host path (they are rare and the wide band
-    would dominate the batch's compiled shape).
+    targets/queries: lists of int8 numpy arrays.  Returns
+    (cols_list, segs_list): per pair, the per-target-column query bases
+    and the decoded inserted segment per boundary.  Pairs whose
+    effective band max(band, |n-m|+1) exceeds ``band_cap`` or exceeds
+    the target length fall back to the scalar host path (they are rare
+    and the wide band would dominate the batch's compiled shape).
     """
     assert len(targets) == len(queries)
+    from .poa import banded_align_ins, decode_ins
+
     nn = len(targets)
     cols_out = [None] * nn
+    segs_out = [None] * nn
     dev_idx = []
     for i, (t, q) in enumerate(zip(targets, queries)):
         eb = max(band, abs(len(q) - len(t)) + 1)
         if eb > band_cap or eb >= max(len(t), 1) + len(q):
-            cols_out[i] = banded_align(t, q, band)
+            cols_out[i], ins = banded_align_ins(t, q, band)
+            segs_out[i] = decode_ins(ins)
         else:
             dev_idx.append(i)
     if not dev_idx:
-        return cols_out
+        return cols_out, segs_out
     Mp = _pow2(max(len(targets[i]) for i in dev_idx), 16)
     Np = _pow2(max(len(queries[i]) for i in dev_idx), 16)
     Wm = max(
@@ -180,23 +212,30 @@ def banded_cols_batch(targets, queries, band: int = 64,
         ms[bi] = len(t)
         ns[bi] = len(q)
         bands[bi] = max(band, abs(len(q) - len(t)) + 1)
-    cols = np.asarray(_dp_cols_batch(tpad, ms, qpad, ns, bands, W=W))
+    cols_all, ins_all = (np.asarray(x) for x in _dp_cols_batch(
+        tpad, ms, qpad, ns, bands, W=W))
     for bi, i in enumerate(dev_idx):
-        cols_out[i] = cols[bi, : ms[bi]]
-    return cols_out
+        cols_out[i] = cols_all[bi, : ms[bi]]
+        segs_out[i] = _segments_from_counts(
+            queries[i], cols_out[i], ins_all[bi, : ms[bi] + 1])
+    return cols_out, segs_out
 
 
 def consensus_sequence_batch(clusters, band: int = 64,
-                             max_len: int = 4096) -> list[str]:
-    """Batched star-MSA consensus: semantics of ``consensus_sequence``
-    (ops/poa.py:82) applied to many clusters with all member→medoid
-    alignments fused into one device DP batch."""
+                             max_len: int = 4096,
+                             rounds: int = 2) -> list[str]:
+    """Batched consensus: semantics of ``consensus_sequence``
+    (ops/poa.py — iteratively-refined star MSA with majority-mode
+    selection and insertion recovery) applied to many clusters, with
+    every round's member→consensus alignments across ALL clusters fused
+    into one device DP batch."""
+    from .poa import (
+        accumulate_votes, assemble_consensus, majority_length_mode,
+        new_vote_state,
+    )
+
     results: list[str | None] = [None] * len(clusters)
-    votes: dict[int, np.ndarray] = {}
-    medoids: dict[int, str] = {}
-    pair_cluster: list[int] = []
-    pair_t: list[np.ndarray] = []
-    pair_q: list[np.ndarray] = []
+    active: dict[int, tuple[list[str], str]] = {}
     for ci, seqs in enumerate(clusters):
         seqs = [s for s in seqs if s]
         if not seqs:
@@ -205,31 +244,50 @@ def consensus_sequence_batch(clusters, band: int = 64,
         if len(seqs) == 1:
             results[ci] = seqs[0]
             continue
-        order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
-        medoid = seqs[order[len(order) // 2]]
-        if len(medoid) > max_len:
-            results[ci] = medoid
+        members = majority_length_mode(seqs)
+        if len(members) == 1:
+            results[ci] = members[0]
             continue
-        target = encode(medoid)
-        m = len(target)
-        v = np.zeros((m, 6), np.int32)
-        for s in seqs:
-            if s == medoid:
-                v[np.arange(m), target] += 1
+        order = sorted(range(len(members)), key=lambda i: len(members[i]))
+        cons = members[order[len(order) // 2]]
+        if len(cons) > max_len:
+            results[ci] = cons
+            continue
+        active[ci] = (members, cons)
+
+    for _ in range(max(rounds, 1)):
+        if not active:
+            break
+        votes = {}
+        insv = {}
+        pair_ci: list[int] = []
+        pair_t: list[np.ndarray] = []
+        pair_q: list[np.ndarray] = []
+        for ci, (members, cons) in active.items():
+            target = encode(cons)
+            m = len(target)
+            v, iv = new_vote_state(target)
+            for s in members:
+                if s == cons:
+                    v[np.arange(m), target] += 1
+                else:
+                    pair_ci.append(ci)
+                    pair_t.append(target)
+                    pair_q.append(encode(s[: 4 * m]))
+            votes[ci] = v
+            insv[ci] = iv
+        if pair_ci:
+            all_cols, all_segs = banded_cols_batch(pair_t, pair_q, band)
+            for ci, cols, segs in zip(pair_ci, all_cols, all_segs):
+                accumulate_votes(votes[ci], insv[ci], cols, segs)
+        nxt: dict[int, tuple[list[str], str]] = {}
+        for ci, (members, cons) in active.items():
+            new = assemble_consensus(votes[ci], insv[ci], len(members))
+            if not new or new == cons:
+                results[ci] = cons
             else:
-                pair_cluster.append(ci)
-                pair_t.append(target)
-                pair_q.append(encode(s[: 4 * m]))
-        votes[ci] = v
-        medoids[ci] = medoid
-    if pair_cluster:
-        all_cols = banded_cols_batch(pair_t, pair_q, band)
-        for ci, cols in zip(pair_cluster, all_cols):
-            v = votes[ci]
-            gap = cols < 0
-            np.add.at(v, (np.nonzero(~gap)[0], cols[~gap]), 1)
-            v[gap, 5] += 1
-    for ci, v in votes.items():
-        winner = v.argmax(axis=1)
-        results[ci] = "".join(_BASES[w] for w in winner if w != 5)
+                nxt[ci] = (members, new)
+        active = nxt
+    for ci, (_members, cons) in active.items():  # rounds exhausted
+        results[ci] = cons
     return results  # type: ignore[return-value]

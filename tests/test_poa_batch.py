@@ -43,20 +43,22 @@ def test_banded_cols_matches_scalar():
     for m, n in [(8, 200), (200, 8), (3, 3), (1, 40)]:
         targets.append(encode(_rand_seq(rng, m)))
         queries.append(encode(_rand_seq(rng, n)))
-    got = banded_cols_batch(targets, queries, band=16)
+    got_cols, got_segs = banded_cols_batch(targets, queries, band=16)
+    from svtrek_tpu.ops.poa import banded_align_ins, decode_ins
+
     for i, (t, q) in enumerate(zip(targets, queries)):
-        want = banded_align(t, q, 16)
-        np.testing.assert_array_equal(
-            got[i], want, err_msg=f"pair {i} len(t)={len(t)} len(q)={len(q)}"
-        )
+        want_cols, want_ins = banded_align_ins(t, q, 16)
+        msg = f"pair {i} len(t)={len(t)} len(q)={len(q)}"
+        np.testing.assert_array_equal(got_cols[i], want_cols, err_msg=msg)
+        assert got_segs[i] == decode_ins(want_ins), msg
 
 
 def test_banded_cols_band_cap_fallback():
     rng = np.random.default_rng(3)
     t = encode(_rand_seq(rng, 10))
     q = encode(_rand_seq(rng, 900))   # band 891 > cap → host path
-    got = banded_cols_batch([t], [q], band=8, band_cap=64)
-    np.testing.assert_array_equal(got[0], banded_align(t, q, 8))
+    got_cols, _segs = banded_cols_batch([t], [q], band=8, band_cap=64)
+    np.testing.assert_array_equal(got_cols[0], banded_align(t, q, 8))
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
