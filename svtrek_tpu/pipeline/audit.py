@@ -302,16 +302,54 @@ def _shard_and_resume_tasks(tasks, cfg, err):
     if getattr(cfg, "resume", False) and cfg.output_file and \
             os.path.exists(cfg.output_file):
         with open(cfg.output_file) as fh:
-            n_done = sum(1 for line in fh if line.strip())
+            done_lines = [line.rstrip("\n") for line in fh if line.strip()]
+        n_done = len(done_lines)
         if n_done:
             kept, skipped = [], 0
+            last_skipped = None
             for t in tasks:
                 if skipped < n_done:
                     _, emit = windows_for_task(t, cfg)
                     if emit:
                         skipped += 1
+                        last_skipped = t
                     continue
                 kept.append(t)
+            # Identity check: the last existing output line must belong
+            # to the record the count says it does — its record-derived
+            # fields (type/chrom/org pos/org end) are deterministic, so
+            # a different shard split or an edited VCF aborts instead of
+            # silently misaligning lines to records (VERDICT r1 item 9).
+            if skipped < n_done:
+                print(
+                    f"[ERROR] Resume mismatch: {cfg.output_file} has "
+                    f"{n_done} result line(s) but this input/shard only "
+                    f"produces {skipped}. Refusing to resume.",
+                    file=err,
+                )
+                raise SystemExit(1)
+            if last_skipped is not None:
+                expect = format_result(
+                    last_skipped.sv_type, last_skipped.chrom_index,
+                    last_skipped.pos, last_skipped.end, NA32, NA32,
+                ).split(" ref pos:")[0]
+                got = done_lines[-1].split(" ref pos:")[0]
+                # --chrom-by-name prints the CHROM name instead.
+                expect_by_name = format_result(
+                    last_skipped.sv_type, last_skipped.chrom_name,
+                    last_skipped.pos, last_skipped.end, NA32, NA32,
+                ).split(" ref pos:")[0]
+                if got not in (expect, expect_by_name):
+                    print(
+                        f"[ERROR] Resume mismatch: last line of "
+                        f"{cfg.output_file} is {got!r} but record "
+                        f"{last_skipped.line_index} of this input/shard "
+                        f"would emit {expect!r}. The output file belongs "
+                        f"to a different input or shard split; refusing "
+                        f"to resume.",
+                        file=err,
+                    )
+                    raise SystemExit(1)
             print(
                 f"[INFO] Resume: {n_done} result line(s) already in "
                 f"{cfg.output_file}; skipping to record "
