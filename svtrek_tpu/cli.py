@@ -43,7 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
     audt.add_argument("--wider-interval", type=int, default=C.WIDER_INTERVAL)
     audt.add_argument("--median-interval", type=int, default=C.MEDIAN_INTERVAL)
     audt.add_argument("--narrow-interval", type=int, default=C.NARROW_INTERVAL)
-    audt.add_argument("--batch-windows", type=int, default=256,
+    audt.add_argument("--batch-windows", type=int, default=512,
                       help="[TPU] windows per device batch")
     audt.add_argument("--max-candidates", type=int, default=1024,
                       help="[TPU] consensus candidate capacity per window")

@@ -29,7 +29,7 @@ class AudtConfig:
     consensus_interval: int = C.CONSENSUS_INTERVAL
     consensus_min_count: int = C.CONSENSUS_MIN_COUNT
     # TPU-native additions (no reference analog):
-    batch_windows: int = 256        # windows per device batch
+    batch_windows: int = 512        # windows per device batch
     max_candidates: int = 1024      # consensus candidate cap per window
     max_read_candidates: int = 64   # per-read candidate compaction width
     use_native_io: bool = True      # prefer the C BAM reader when built
