@@ -66,32 +66,81 @@ typedef struct {
 
 typedef struct {
     FILE *fp;
-    bgzf_blk_t *slots;     /* BGZF_CACHE_SLOTS */
-    bgzf_blk_t *cur;       /* current block (points into slots) */
+    bgzf_blk_t *slots;     /* decompressed-block LRU cache */
     uint32_t tick;
-    int upos;              /* cursor within cur */
+    int64_t coffset;       /* cursor: compressed offset of current block */
+    int upos;              /* cursor within the current block */
 } bgzf_t;
 
 static int bgzf_init(bgzf_t *z) {
     z->slots = malloc(sizeof(bgzf_blk_t) * BGZF_CACHE_SLOTS);
     if (!z->slots) return -1;
     for (int i = 0; i < BGZF_CACHE_SLOTS; i++) z->slots[i].coffset = -1;
-    z->cur = NULL;
     z->tick = 0;
+    z->coffset = 0;
     z->upos = 0;
     return 0;
 }
 
-static int bgzf_load_block(bgzf_t *z, int64_t coffset) {
-    for (int i = 0; i < BGZF_CACHE_SLOTS; i++) {
-        bgzf_blk_t *s = &z->slots[i];
-        if (s->coffset == coffset) {
-            s->stamp = ++z->tick;
-            z->cur = s;
-            z->upos = 0;
-            return s->eof ? 1 : 0;
+static bgzf_blk_t *bgzf_find(bgzf_t *z, int64_t coffset) {
+    for (int i = 0; i < BGZF_CACHE_SLOTS; i++)
+        if (z->slots[i].coffset == coffset) {
+            z->slots[i].stamp = ++z->tick;
+            return &z->slots[i];
         }
+    return NULL;
+}
+
+/* Parse the block header at coffset; *bsize = compressed block size.
+ * Returns 0, 1 on clean EOF (no header bytes), -1 on corruption.
+ * Leaves the file positioned after the extra field. */
+static int bgzf_header(bgzf_t *z, int64_t coffset, int64_t *bsize,
+                       int *xlen_out) {
+    uint8_t hdr[12];
+    if (fseeko(z->fp, coffset, SEEK_SET) != 0) return -1;
+    size_t got = fread(hdr, 1, 12, z->fp);
+    if (got == 0) return 1; /* EOF */
+    if (got < 12 || hdr[0] != 0x1f || hdr[1] != 0x8b) return -1;
+    int xlen = hdr[10] | (hdr[11] << 8);
+    uint8_t extra[4096];
+    if (xlen > (int)sizeof(extra)) return -1;
+    if (fread(extra, 1, xlen, z->fp) != (size_t)xlen) return -1;
+    int64_t bs = -1;
+    for (int i = 0; i + 4 <= xlen;) {
+        int si1 = extra[i], si2 = extra[i + 1];
+        int slen = extra[i + 2] | (extra[i + 3] << 8);
+        if (si1 == 'B' && si2 == 'C' && slen == 2)
+            bs = (extra[i + 4] | (extra[i + 5] << 8)) + 1;
+        i += 4 + slen;
     }
+    if (bs < 0) return -1;
+    *bsize = bs;
+    if (xlen_out) *xlen_out = xlen;
+    return 0;
+}
+
+/* Block sizes without inflating: *bsize compressed, *isize uncompressed
+ * (the gzip ISIZE trailer).  0 ok, 1 clean EOF, -1 corruption. */
+static int bgzf_peek(bgzf_t *z, int64_t coffset, int64_t *bsize,
+                     int64_t *isize) {
+    int r = bgzf_header(z, coffset, bsize, NULL);
+    if (r != 0) return r;
+    uint8_t tail[4];
+    if (fseeko(z->fp, coffset + *bsize - 4, SEEK_SET) != 0) return -1;
+    if (fread(tail, 1, 4, z->fp) != 4) return -1;
+    *isize = (int64_t)tail[0] | ((int64_t)tail[1] << 8) |
+             ((int64_t)tail[2] << 16) | ((int64_t)tail[3] << 24);
+    return 0;
+}
+
+/* Load (inflate) the block at coffset into the cache; cache hits skip
+ * the seek+read+inflate entirely (overlapping windows re-read the same
+ * blocks constantly -- e.g. a DEL's end window usually lies inside its
+ * start window).  Returns the slot, or NULL on corruption; a clean EOF
+ * yields a slot with eof=1, ulen=0. */
+static bgzf_blk_t *bgzf_ensure(bgzf_t *z, int64_t coffset) {
+    bgzf_blk_t *hit = bgzf_find(z, coffset);
+    if (hit) return hit;
     bgzf_blk_t *blk = NULL;   /* prefer an empty slot, else evict LRU */
     for (int i = 0; i < BGZF_CACHE_SLOTS; i++) {
         bgzf_blk_t *s = &z->slots[i];
@@ -100,88 +149,103 @@ static int bgzf_load_block(bgzf_t *z, int64_t coffset) {
     }
     blk->coffset = -1;        /* invalid until fully loaded */
 
-    uint8_t hdr[12];
-    if (fseeko(z->fp, coffset, SEEK_SET) != 0) return -1;
-    size_t got = fread(hdr, 1, 12, z->fp);
-    if (got == 0) { /* EOF */
+    int64_t bsize;
+    int xlen = 0;
+    int hr = bgzf_header(z, coffset, &bsize, &xlen);
+    if (hr == 1) { /* clean EOF */
         blk->ulen = 0; blk->eof = 1; blk->coffset = coffset;
         blk->next_coffset = coffset; blk->stamp = ++z->tick;
-        z->cur = blk; z->upos = 0;
-        return 1;
+        return blk;
     }
-    if (got < 12 || hdr[0] != 0x1f || hdr[1] != 0x8b) return -1;
-    int xlen = hdr[10] | (hdr[11] << 8);
-    uint8_t extra[4096];
-    if (xlen > (int)sizeof(extra)) return -1;
-    if (fread(extra, 1, xlen, z->fp) != (size_t)xlen) return -1;
-    int bsize = -1;
-    for (int i = 0; i + 4 <= xlen;) {
-        int si1 = extra[i], si2 = extra[i + 1];
-        int slen = extra[i + 2] | (extra[i + 3] << 8);
-        if (si1 == 'B' && si2 == 'C' && slen == 2)
-            bsize = (extra[i + 4] | (extra[i + 5] << 8)) + 1;
-        i += 4 + slen;
-    }
-    if (bsize < 0) return -1;
-    int csize = bsize - 12 - xlen - 8;
+    if (hr != 0) return NULL;
+    int csize = (int)(bsize - 12 - xlen - 8);
+    if (csize < 0) return NULL;
     uint8_t *cbuf = malloc(csize);
-    if (fread(cbuf, 1, csize, z->fp) != (size_t)csize) { free(cbuf); return -1; }
+    if (fread(cbuf, 1, csize, z->fp) != (size_t)csize) { free(cbuf); return NULL; }
     uint8_t tail[8];
-    if (fread(tail, 1, 8, z->fp) != 8) { free(cbuf); return -1; }
+    if (fread(tail, 1, 8, z->fp) != 8) { free(cbuf); return NULL; }
 
     z_stream s;
     memset(&s, 0, sizeof(s));
     s.next_in = cbuf; s.avail_in = csize;
     s.next_out = blk->ubuf; s.avail_out = sizeof(blk->ubuf);
-    if (inflateInit2(&s, -15) != Z_OK) { free(cbuf); return -1; }
+    if (inflateInit2(&s, -15) != Z_OK) { free(cbuf); return NULL; }
     int r = inflate(&s, Z_FINISH);
     inflateEnd(&s);
     free(cbuf);
-    if (r != Z_STREAM_END) return -1;
+    if (r != Z_STREAM_END) return NULL;
     blk->ulen = (int)s.total_out;
     blk->eof = 0;
     blk->coffset = coffset;
     blk->next_coffset = coffset + bsize;
     blk->stamp = ++z->tick;
-    z->cur = blk;
-    z->upos = 0;
-    return 0;
+    return blk;
 }
 
+/* The cursor is lazy: seek just records the position; nothing is
+ * inflated until a read needs bytes. */
 static int bgzf_seek(bgzf_t *z, int64_t voffset) {
-    int64_t co = voffset >> 16;
-    int uo = (int)(voffset & 0xffff);
-    if (!z->cur || co != z->cur->coffset || z->cur->ulen == 0) {
-        int r = bgzf_load_block(z, co);
-        if (r != 0) return r;
-    }
-    z->upos = uo;
+    z->coffset = voffset >> 16;
+    z->upos = (int)(voffset & 0xffff);
     return 0;
 }
 
 static int64_t bgzf_tell(bgzf_t *z) {
-    return ((z->cur ? z->cur->coffset : 0) << 16) | (int64_t)z->upos;
+    return (z->coffset << 16) | (int64_t)z->upos;
 }
 
 static int bgzf_read(bgzf_t *z, void *out, int n) {
     uint8_t *dst = out;
     int done = 0;
     while (done < n) {
-        int avail = z->cur ? z->cur->ulen - z->upos : 0;
+        bgzf_blk_t *b = bgzf_ensure(z, z->coffset);
+        if (!b || b->eof) return done;
+        int avail = b->ulen - z->upos;
         if (avail <= 0) {
-            int64_t next = z->cur ? z->cur->next_coffset : 0;
-            int r = bgzf_load_block(z, next);
-            if (r != 0) return done;
-            if (z->cur->ulen == 0) return done;
+            if (b->next_coffset == z->coffset) return done; /* stuck */
+            z->coffset = b->next_coffset;
+            z->upos = 0;
             continue;
         }
         int take = n - done < avail ? n - done : avail;
-        memcpy(dst + done, z->cur->ubuf + z->upos, take);
+        memcpy(dst + done, b->ubuf + z->upos, take);
         z->upos += take;
         done += take;
     }
     return done;
 }
+
+/* Advance the cursor n uncompressed bytes WITHOUT inflating anything:
+ * whole skipped blocks only have their header + ISIZE trailer read.
+ * This is what makes CIGAR-only fetches of long-read BAMs cheap -- the
+ * multi-block SEQ/QUAL payload of each record is never decompressed.
+ * Returns 0, -1 on corruption/truncation. */
+static int bgzf_skip(bgzf_t *z, int64_t n) {
+    int zero_blocks = 0;
+    while (n > 0) {
+        int64_t bsize, isize;
+        bgzf_blk_t *b = bgzf_find(z, z->coffset);
+        if (b) {
+            if (b->eof) return -1;
+            isize = b->ulen;
+            bsize = b->next_coffset - b->coffset;
+        } else {
+            int r = bgzf_peek(z, z->coffset, &bsize, &isize);
+            if (r != 0) return -1; /* EOF mid-skip = truncated */
+        }
+        int64_t avail = isize - z->upos;
+        if (n < avail) {
+            z->upos += (int)n;
+            return 0;
+        }
+        if (avail <= 0 && ++zero_blocks > 8) return -1; /* EOF markers */
+        n -= avail > 0 ? avail : 0;
+        z->coffset += bsize;
+        z->upos = 0;
+    }
+    return 0;
+}
+
 
 /* ------------------------------------------------------------------ */
 /* BAM index: BAI (uncompressed, min_shift=14 depth=5 + linear index)   */
@@ -258,7 +322,6 @@ static int csi_load(bai_t *idx, const char *path) {
     int ok = -1;
     char magic[4];
     int32_t l_aux;
-    if (bgzf_load_block(&z, 0) != 0) goto out;
     if (bgzf_read(&z, magic, 4) != 4 || memcmp(magic, "CSI\1", 4)) goto out;
     int32_t ms, dp;
     if (bgzf_read(&z, &ms, 4) != 4) goto out;
@@ -380,9 +443,6 @@ void *svbam_open(const char *path) {
     b->z.fp = fopen(path, "rb");
     if (!b->z.fp) { free(b); return NULL; }
     if (bgzf_init(&b->z) != 0) { fclose(b->z.fp); free(b); return NULL; }
-    if (bgzf_load_block(&b->z, 0) != 0) {
-        fclose(b->z.fp); free(b->z.slots); free(b); return NULL;
-    }
     uint8_t magic[4];
     if (bgzf_read(&b->z, magic, 4) != 4 || memcmp(magic, "BAM\1", 4)) goto fail;
     int32_t l_text;
@@ -552,28 +612,49 @@ static int64_t fetch_into(svbam_t *b, int32_t tid, int64_t beg, int64_t end) {
                 err = -1;
                 goto done;
             }
-            if ((size_t)bsz > b->rec_cap) {
-                b->rec_cap = bsz * 2;
+            /* Only the fixed part + name + CIGAR are ever needed; the
+             * SEQ/QUAL/tag payload (the bulk of a long-read record) is
+             * bgzf_skip'd — whole skipped blocks are never inflated. */
+            if (b->rec_cap < 32) {
+                b->rec_cap = 4096;
                 b->rec = realloc(b->rec, b->rec_cap);
             }
-            got = bgzf_read(&b->z, b->rec, bsz);
-            if (got != bsz) {
-                FETCH_ERR(b, "short BAM record read (%d/%d bytes): "
-                          "corrupt or truncated BAM", got, bsz);
+            got = bgzf_read(&b->z, b->rec, 32);
+            if (got != 32) {
+                FETCH_ERR(b, "short BAM record read (%d/32 bytes): "
+                          "corrupt or truncated BAM", got);
                 err = -1;
                 goto done;
             }
             int32_t rtid = rd_i32(b->rec);
             int64_t rpos = rd_i32(b->rec + 4);
-            if (rtid != tid || rpos >= end) goto done;
             uint32_t lrn_flag = rd_u32(b->rec + 8);
             int l_read_name = lrn_flag & 0xff;
             uint32_t ncig_flag = rd_u32(b->rec + 12);
             int n_cigar = ncig_flag & 0xffff;
-            if (32 + l_read_name + 4 * (int64_t)n_cigar > bsz) {
+            int64_t prefix = 32 + l_read_name + 4 * (int64_t)n_cigar;
+            if (prefix > bsz) {
                 FETCH_ERR(b, "BAM record fields exceed record size "
                           "(%d ops, %d-byte record): corrupt BAM",
                           n_cigar, bsz);
+                err = -1;
+                goto done;
+            }
+            if (rtid != tid || rpos >= end) goto done;
+            if ((size_t)prefix > b->rec_cap) {
+                b->rec_cap = (size_t)prefix * 2;
+                b->rec = realloc(b->rec, b->rec_cap);
+            }
+            got = bgzf_read(&b->z, b->rec + 32, (int)(prefix - 32));
+            if (got != (int)(prefix - 32)) {
+                FETCH_ERR(b, "short BAM record read (%d/%d bytes): "
+                          "corrupt or truncated BAM", got + 32, bsz);
+                err = -1;
+                goto done;
+            }
+            if (bgzf_skip(&b->z, bsz - prefix) != 0) {
+                FETCH_ERR(b, "BAM record payload skip failed: corrupt "
+                          "or truncated BAM");
                 err = -1;
                 goto done;
             }
