@@ -246,6 +246,23 @@ def bench_e2e():
     dt = time.perf_counter() - t0
     rate = len(lines) / dt
 
+    # Concordance (BASELINE.md metric): the fixture's VCF positions ARE
+    # the planted truth, so a refined DEL/INS breakpoint should land
+    # within a few bp (read start jitter is ±2).  INV is excluded — the
+    # reference's INV refinement is a structural no-op (refinement.c:250).
+    import re as _re
+
+    hits = total = 0
+    for line in lines:
+        if line.startswith("(INV)"):
+            continue
+        total += 1
+        diffs = [int(d) for d in _re.findall(r"diff(?: pos| end)?: (-?\d+)",
+                                             line)]
+        if diffs and all(abs(d) <= 5 for d in diffs):
+            hits += 1
+    concordance = hits / total if total else 0.0
+
     # C scalar e2e stand-in: native fetch + svbaseline_refine per window,
     # one thread, scaled by the reference's 4 default threads.
     base_rate = 0.0
@@ -282,6 +299,7 @@ def bench_e2e():
         "vs_baseline": round(vs, 3),
         "records": len(lines),
         "wall_s": round(dt, 3),
+        "concordance_within_5bp": round(concordance, 4),
     }
 
 

@@ -96,7 +96,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(scan)
     scan.add_argument("--window-size", type=int, default=1000)
     scan.add_argument("--slide-size", type=int, default=1)
-    scan.add_argument("--batch-windows", type=int, default=1024,
+    scan.add_argument("--batch-windows", type=int, default=8192,
                       help="[TPU] sub-windows per device batch")
     scan.add_argument("--no-native-io", action="store_true")
 

@@ -76,8 +76,9 @@ class ScanConfig:
     consensus_interval: int = C.CONSENSUS_INTERVAL
     consensus_min_count: int = C.CONSENSUS_MIN_COUNT
     # TPU-native additions:
-    batch_windows: int = 1024       # sub-windows per device batch
-    max_candidates: int = 1024      # evidence cap per sub-window
+    batch_windows: int = 8192       # sub-windows per device batch
+    max_candidates: int = 128       # evidence cap per sub-window
+                                    # (overflow → exact host fallback)
     use_native_io: bool = True
 
 

@@ -427,6 +427,7 @@ typedef struct {
     /* per-handle scratch: handles are used from multiple threads
        (one handle per producer thread), so no function-static state */
     vec_t binvec;   /* uint32 overlapping-bin scratch */
+    vec_t chunkvec; /* chunk_t scratch (per-fetch, reused) */
     /* reference names (BAM header), for name-based tid lookup */
     char **ref_names;
     /* sticky decode-error detail; "" = no error.  A corrupt/truncated
@@ -480,6 +481,7 @@ void *svbam_open(const char *path) {
         b->has_idx = csi_load(&b->idx, ipath) == 0;
     }
     vec_init(&b->binvec, 4);
+    vec_init(&b->chunkvec, sizeof(chunk_t));
 
     vec_init(&b->pos, 8); vec_init(&b->nops, 4); vec_init(&b->opoff, 8);
     vec_init(&b->ops, 1); vec_init(&b->lens, 4);
@@ -504,6 +506,7 @@ void svbam_close(void *h) {
     vec_free(&b->pos); vec_free(&b->nops); vec_free(&b->opoff);
     vec_free(&b->ops); vec_free(&b->lens);
     vec_free(&b->binvec);
+    vec_free(&b->chunkvec);
     if (b->ref_names) {
         for (int i = 0; i < b->n_ref; i++) free(b->ref_names[i]);
         free(b->ref_names);
@@ -567,7 +570,8 @@ static int64_t fetch_into(svbam_t *b, int32_t tid, int64_t beg, int64_t end) {
     overlap_bins(beg, end, b->idx.min_shift, b->idx.depth, &b->binvec);
     const uint32_t *binbuf = b->binvec.data;
     size_t nb = b->binvec.len;
-    vec_t chunks; vec_init(&chunks, sizeof(chunk_t));
+    vec_t chunks = b->chunkvec;
+    chunks.len = 0;
     for (size_t i = 0; i < nb; i++) {
         bin_t *bn = find_bin(ri, binbuf[i]);
         if (!bn) continue;
@@ -682,7 +686,7 @@ static int64_t fetch_into(svbam_t *b, int32_t tid, int64_t beg, int64_t end) {
         }
     }
 done:
-    vec_free(&chunks);
+    b->chunkvec = chunks;  /* keep the grown scratch for the next fetch */
     if (err) return -1;
     return (int64_t)(b->pos.len - reads_before);
 }
