@@ -410,15 +410,39 @@ def bench_poa():
     }
 
 
+def _run_isolated(name: str):
+    """Run one bench stage in its own subprocess: device/executable
+    state from earlier stages measurably degrades later ones (the POA
+    kernel drops ~3 orders of magnitude when timed after the audit
+    programs), so each metric gets a clean backend."""
+    import subprocess
+
+    code = (f"import json, bench; "
+            f"print('\\nBENCH_JSON:' + json.dumps(bench.{name}()))")
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=560,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"{name} failed:\n{proc.stderr[-2000:]}")
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCH_JSON:"):
+            return json.loads(line[len("BENCH_JSON:"):])
+    raise RuntimeError(f"{name}: no result line\n{proc.stdout[-500:]}")
+
+
 def main():
-    result = bench_kernel()
+    if len(sys.argv) > 1:  # run one stage inline: bench.py <stage>
+        print(json.dumps(globals()[sys.argv[1]]()))
+        return
+    result = _run_isolated("bench_kernel")
     extra = []
-    for fn in (bench_e2e, bench_scan, bench_poa):
+    for fn in ("bench_e2e", "bench_scan", "bench_poa"):
         try:
-            extra.append(fn())
+            extra.append(_run_isolated(fn))
         except Exception as e:  # keep the headline alive on partial failure
-            print(f"[bench] WARNING: {fn.__name__} failed: {e}",
-                  file=sys.stderr)
+            print(f"[bench] WARNING: {fn} failed: {e}", file=sys.stderr)
     result["extra"] = extra
     print(json.dumps(result))
 

@@ -23,6 +23,8 @@ _REF = os.environ.get("SVTREK_REFERENCE_DIR", "/root/reference")
 _SO = os.path.join(_HERE, "librefshim.so")
 
 _REF_SOURCES = ["refinement.c", "utils.c", "sliding_window.c"]
+_AUDIT_SOURCES = ["audit.c", "init.c", "tpool.c"]
+_AUDIT_BIN = os.path.join(_HERE, "refaudit")
 
 
 class ShimUnavailable(Exception):
@@ -59,6 +61,47 @@ def build() -> str:
         if proc.returncode != 0:
             raise ShimUnavailable(f"gcc failed:\n{proc.stderr}")
     return _SO
+
+
+def build_audit_bin() -> str:
+    """Compile the reference's full audit driver against the shim;
+    returns the executable path (tests/refshim/refaudit)."""
+    srcs = [os.path.join(_HERE, "audit_main.c"), os.path.join(_HERE, "shim.c")]
+    for s in _REF_SOURCES + _AUDIT_SOURCES:
+        srcs.append(os.path.join(_REF, s))
+    for s in srcs:
+        if not os.path.exists(s):
+            raise ShimUnavailable(f"missing source {s}")
+    if not os.path.exists(_AUDIT_BIN) or any(
+            os.path.getmtime(s) > os.path.getmtime(_AUDIT_BIN) for s in srcs):
+        cmd = ["gcc", "-O2", "-g", "-I" + _HERE, "-I" + _REF,
+               *srcs, "-o", _AUDIT_BIN, "-lpthread"]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise ShimUnavailable(f"gcc failed:\n{proc.stderr}")
+    return _AUDIT_BIN
+
+
+def write_reads_file(path: str, reads) -> None:
+    """Serialize [(tid, pos, [(op, len), ...]), ...] for shim_load_reads."""
+    n = len(reads)
+    tids = np.asarray([r[0] for r in reads], np.int32)
+    pos = np.asarray([r[1] for r in reads], np.int64)
+    n_ops = np.asarray([len(r[2]) for r in reads], np.int32)
+    off = (np.cumsum(n_ops, dtype=np.int64) - n_ops) if n else \
+        np.empty(0, np.int64)
+    words = []
+    for _, _, cigar in reads:
+        for op, ln in cigar:
+            words.append((int(ln) << 4) | int(op))
+    flat = np.asarray(words, np.uint32)
+    with open(path, "wb") as fh:
+        fh.write(np.int64(n).tobytes())
+        fh.write(tids.tobytes())
+        fh.write(pos.tobytes())
+        fh.write(n_ops.tobytes())
+        fh.write(off.tobytes())
+        fh.write(flat.tobytes())
 
 
 _lib = None

@@ -37,6 +37,7 @@ typedef struct shim_bam1 {
 } bam1_t;
 
 typedef struct shim_hts_itr {
+    int tid;          /* queried reference id */
     int64_t beg, end; /* 0-based half-open query region */
     int i;            /* cursor into the fake read store */
 } hts_itr_t;
@@ -51,5 +52,15 @@ hts_itr_t *sam_itr_queryi(const hts_idx_t *idx, int tid, int64_t beg,
                           int64_t end);
 int sam_itr_next(samFile *fp, hts_itr_t *iter, bam1_t *b);
 void sam_itr_destroy(hts_itr_t *iter);
+
+/* Handle lifecycle stubs used by audit.c's process_vcf (audit.c:270-272,
+ * 241-243): trivial allocations so the reference driver runs unmodified
+ * against the fake read store. */
+samFile *hts_open(const char *path, const char *mode);
+bam_hdr_t *sam_hdr_read(samFile *fp);
+hts_idx_t *sam_index_load(samFile *fp, const char *path);
+void sam_close(samFile *fp);
+void hts_idx_destroy(hts_idx_t *idx);
+void bam_hdr_destroy(bam_hdr_t *hdr);
 
 #endif /* SHIM_HTSLIB_SAM_H */
