@@ -104,6 +104,86 @@ def write_reads_file(path: str, reads) -> None:
         fh.write(flat.tobytes())
 
 
+_DISC_SO = os.path.join(_HERE, "libdiscshim.so")
+_DISC_SOURCES = ["discover.c", "utils.c", "init.c"]
+_disc_lib = None
+
+
+def load_disc() -> ctypes.CDLL:
+    """Build + load the disc-mode parser shim (discover.c unmodified)."""
+    global _disc_lib
+    if _disc_lib is not None:
+        return _disc_lib
+    srcs = [os.path.join(_HERE, "disc_shim.c")] + [
+        os.path.join(_REF, s) for s in _DISC_SOURCES]
+    for s in srcs:
+        if not os.path.exists(s):
+            raise ShimUnavailable(f"missing source {s}")
+    if not os.path.exists(_DISC_SO) or any(
+            os.path.getmtime(s) > os.path.getmtime(_DISC_SO) for s in srcs):
+        cmd = ["gcc", "-O2", "-g", "-fPIC", "-shared",
+               "-I" + _HERE, "-I" + _REF, *srcs, "-o", _DISC_SO, "-lz"]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise ShimUnavailable(f"gcc failed:\n{proc.stderr}")
+    lib = ctypes.CDLL(_DISC_SO)
+    lib.disc_gfa.restype = ctypes.c_int
+    lib.disc_gfa.argtypes = [ctypes.c_char_p]
+    lib.disc_gaf.restype = ctypes.c_int
+    lib.disc_gaf.argtypes = [ctypes.c_char_p]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.disc_segments.restype = None
+    lib.disc_segments.argtypes = [i64p, i32p, i32p, i32p, i64p]
+    lib.disc_breakpoints.restype = None
+    lib.disc_breakpoints.argtypes = [i32p, i32p, i32p, i32p, i32p]
+    _disc_lib = lib
+    return lib
+
+
+def ref_parse_gfa(path: str):
+    """Run the reference's parse_gfa; returns a list of dicts (or None
+    on its error paths).  WARNING: invalid GFAs exit(1) the process —
+    feed valid fixtures only, or call from a subprocess."""
+    lib = load_disc()
+    n = lib.disc_gfa(path.encode())
+    if n < 0:
+        return None
+    ids = np.empty(n, np.int64)
+    rank = np.empty(n, np.int32)
+    start = np.empty(n, np.int32)
+    end = np.empty(n, np.int32)
+    nxt = np.empty(n, np.int64)
+    lib.disc_segments(
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rank.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        start.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        end.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nxt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return [dict(id=int(ids[i]), rank=int(rank[i]), start=int(start[i]),
+                 end=int(end[i]),
+                 next_id=(int(ids[nxt[i]]) if nxt[i] >= 0 else None))
+            for i in range(n)]
+
+
+def ref_parse_gaf(path: str):
+    """Run the reference's parse_gaf against the last ref_parse_gfa
+    graph; returns list of (readStart, readEnd, rc) per accepted read."""
+    lib = load_disc()
+    n = lib.disc_gaf(path.encode())
+    rs = np.empty(n, np.int32)
+    re_ = np.empty(n, np.int32)
+    rc = np.empty(n, np.int32)
+    off = np.empty(n, np.int32)
+    typ = np.empty(n, np.int32)
+    p = ctypes.POINTER(ctypes.c_int32)
+    lib.disc_breakpoints(rs.ctypes.data_as(p), re_.ctypes.data_as(p),
+                         rc.ctypes.data_as(p), off.ctypes.data_as(p),
+                         typ.ctypes.data_as(p))
+    return [(int(rs[i]), int(re_[i]), int(rc[i])) for i in range(n)]
+
+
 _lib = None
 
 
