@@ -153,3 +153,48 @@ def test_ref_names(big_bam):
     assert r.tid_by_name("chr1") == 0  # chr-prefix tolerance
     assert r.tid_by_name("nope") == -1
     r.close()
+
+
+def test_multiblock_record_skip_parity(tmp_path):
+    """Records larger than one 64 KiB BGZF block (real long reads):
+    bgzf_skip must hop whole blocks without decoding them and land
+    exactly on the next record.  Parity vs the pure-Python reader."""
+    import numpy as np
+
+    path = str(tmp_path / "long.bam")
+    rng = np.random.default_rng(4)
+    reads = []
+    pos = 1000
+    for i in range(12):
+        cigar = [(0, 100)]
+        for _ in range(50):
+            cigar.append((int(rng.choice([0, 1, 2])),
+                          int(rng.integers(1, 400))))
+        reads.append((pos, cigar))
+        pos += 20_000
+    with BamWriter(path, [("1", CHROM_LEN)]) as w:
+        for i, (p, cig) in enumerate(reads):
+            qlen = sum(l for op, l in cig if op in (0, 1, 4))
+            # >=150 KB of random seq (padded with a trailing soft clip
+            # so the CIGAR stays consistent) -> record spans 3+ blocks
+            total = max(qlen, 150_000)
+            if total > qlen:
+                cig = cig + [(4, total - qlen)]
+                reads[i] = (p, cig)
+            seq = "".join("ACGT"[int(b)] for b in rng.integers(0, 4, total))
+            w.write(BamRecord(name=f"r{i}", flag=0, tid=0, pos=p,
+                              mapq=60, cigar=cig, seq=seq))
+    nat = native_bam_reader(path)
+    got = nat.fetch_packed(0, 0, CHROM_LEN)
+    nat.close()
+    with BamReader(path) as r:
+        want = [(rec.pos, rec.cigar) for rec in r.fetch(0, 0, CHROM_LEN)]
+    assert len(want) == 12
+    assert got[0].tolist() == [p for p, _ in want]
+    # reconstruct (op, len) pairs from the packed arrays
+    outs = []
+    for i in range(12):
+        o = int(got[2][i])
+        n = int(got[1][i])
+        outs.append(list(zip(got[3][o:o+n].tolist(), got[4][o:o+n].tolist())))
+    assert outs == [c for _, c in want]
