@@ -96,3 +96,26 @@ def test_audit_refines_planted_del_exactly(tmp_path):
     want = oracle_lines(vcf, bam, cfg)
     assert got == want
     assert len(got) == 1 and got[0].startswith("(DEL)")
+
+
+def test_data_shards_one_matches_mesh(tmp_path):
+    """The single-shard dispatch branch (what a 1-chip run uses) must
+    produce the same lines as the default auto-mesh run — the CPU test
+    environment always has 8 virtual devices, so without this the
+    n_shards == 1 cand-batch path would only ever run on real hardware."""
+    import io
+
+    from svtrek_tpu.config import AudtConfig
+    from svtrek_tpu.pipeline.audit import run_audit
+    from tests.fixtures import PlantedSV, write_fixture
+
+    svs = [PlantedSV(1, 50_000, 50_400, "DEL", 400),
+           PlantedSV(1, 120_000, 120_001, "INS", 120),
+           PlantedSV(1, 180_000, 180_300, "INV", 300)]
+    bam, vcf = write_fixture(str(tmp_path), svs, {1: 300_000}, seed=3)
+    outs = {}
+    for shards in (1, 2, 0):   # explicit single, explicit 2, auto (=8)
+        cfg = AudtConfig(bam_file=bam, vcf_file=vcf, data_shards=shards)
+        outs[shards] = run_audit(cfg, out=io.StringIO(), err=io.StringIO())
+    assert outs[1] == outs[0] and outs[2] == outs[0]
+    assert len(outs[0]) == 3
