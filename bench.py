@@ -146,13 +146,16 @@ def bench_device(work):
     # Throughput: pipeline ITERS dispatches, block once at the end (the
     # per-call sync round-trip through the device tunnel would otherwise
     # dominate; the production pipeline overlaps host packing with device
-    # execution the same way).
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        refined = run()
-    refined.block_until_ready()
-    dt = time.perf_counter() - t0
-    return (B * ITERS) / dt, np.asarray(refined)
+    # execution the same way).  Best of 3 windows: tunnel load adds up
+    # to ±40% noise to any single window.
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            refined = run()
+        refined.block_until_ready()
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return (B * ITERS) / best_dt, np.asarray(refined)
 
 
 def bench_baseline(work):
