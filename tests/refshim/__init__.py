@@ -82,6 +82,33 @@ def build_audit_bin() -> str:
     return _AUDIT_BIN
 
 
+_BENCH_BIN = os.path.join(_HERE, "refbench")
+
+
+def build_bench_bin() -> str:
+    """Compile the MEASURED reference baseline: the reference's own audit
+    pipeline against the htslib-faithful real-file backend (htsio.c).
+    Returns the executable path (tests/refshim/refbench)."""
+    srcs = [os.path.join(_HERE, "refbench_main.c"),
+            os.path.join(_HERE, "htsio.c")]
+    for s in _REF_SOURCES + _AUDIT_SOURCES:
+        srcs.append(os.path.join(_REF, s))
+    for s in srcs:
+        if not os.path.exists(s):
+            raise ShimUnavailable(f"missing source {s}")
+    if not os.path.exists(_BENCH_BIN) or any(
+            os.path.getmtime(s) > os.path.getmtime(_BENCH_BIN) for s in srcs):
+        cmd = ["gcc", "-O3", "-g", "-I" + _HERE, "-I" + _REF, *srcs,
+               "-o", _BENCH_BIN, "-lpthread", "-lz"]
+        if os.path.exists("/usr/include/libdeflate.h"):
+            cmd.insert(1, "-DSVTREK_HAVE_LIBDEFLATE")
+            cmd.append("-ldeflate")
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise ShimUnavailable(f"gcc failed:\n{proc.stderr}")
+    return _BENCH_BIN
+
+
 def write_reads_file(path: str, reads) -> None:
     """Serialize [(tid, pos, [(op, len), ...]), ...] for shim_load_reads."""
     n = len(reads)

@@ -22,9 +22,9 @@
 #include <stdio.h>
 #include <stdlib.h>
 
-typedef struct shim_samFile { int _unused; } samFile;
-typedef struct shim_bam_hdr { int _unused; } bam_hdr_t;
-typedef struct shim_hts_idx { int _unused; } hts_idx_t;
+typedef struct shim_samFile { void *impl; } samFile;
+typedef struct shim_bam_hdr { void *impl; } bam_hdr_t;
+typedef struct shim_hts_idx { void *impl; } hts_idx_t;
 
 typedef struct shim_bam1_core {
     int64_t pos;       /* 0-based leftmost alignment position */
@@ -33,13 +33,21 @@ typedef struct shim_bam1_core {
 
 typedef struct shim_bam1 {
     bam1_core_t core;
-    uint32_t *shim_cigar; /* points into the fake read store */
+    uint32_t *shim_cigar; /* points into the fake read store, or into
+                             the record body below (htsio.c backend) */
+    /* Real-file backend (tests/refshim/htsio.c): the FULL record body,
+     * materialized like htslib's bam_read1 (read_name + CIGAR + SEQ +
+     * QUAL + aux), so the measured reference baseline pays htslib's
+     * true per-record cost. Unused by the fake-store backend. */
+    uint8_t *data;
+    int l_data, m_data;
 } bam1_t;
 
 typedef struct shim_hts_itr {
     int tid;          /* queried reference id */
     int64_t beg, end; /* 0-based half-open query region */
     int i;            /* cursor into the fake read store */
+    void *impl;       /* htsio.c backend iterator state */
 } hts_itr_t;
 
 #define bam_get_cigar(b) ((b)->shim_cigar)
