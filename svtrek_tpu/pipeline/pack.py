@@ -500,6 +500,16 @@ def pack_chunk_cand(window_chunk: Sequence[WindowSpec], reader, cfg,
         cfg.consensus_min_count, cfg.consensus_interval,
         cfg.consensus_interval_range,
     )
+    # Shrink the shipped width to this batch's live candidate maximum
+    # (pow2 bucket, so at most a handful of compiled variants): the
+    # device step costs ~nothing, but every host->device byte rides the
+    # accelerator tunnel, and typical windows carry 10-30 candidates
+    # against a 128-wide default.
+    kmax = int(np.minimum(counts, K).max()) if n_win else 1
+    keff = _pow2(max(kmax, 1), lo=16)
+    if keff < K:
+        locs = np.ascontiguousarray(locs[:, :keff])
+        K = keff
 
     # Pad the window axis to a stable bucket (recompile control); with a
     # mesh, also to a multiple of the shard count (rows shard blockwise).
