@@ -216,45 +216,97 @@ def bench_kernel():
     }
 
 
-def bench_e2e():
-    """End-to-end audt records/s (fold-in of tools/bench_e2e.py; warm
-    cache) + the C scalar path as the reference-binary stand-in."""
-    import io as _io
-
+def _e2e_fixture(realistic_seq: bool):
+    """Build (once, cached) and return (bam, vcf) for one fixture flavor."""
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "tools"))
     from bench_e2e import build_fixture
 
-    from svtrek_tpu.config import AudtConfig
-    from svtrek_tpu.io.vcf import VcfSkip, iter_vcf_tasks
-    from svtrek_tpu.native import native_bam_reader
-    from svtrek_tpu.native.bamlib import baseline_refine, load_library
-    from svtrek_tpu.pipeline.audit import run_audit
-    from svtrek_tpu.pipeline.pack import windows_for_task
-
-    tmpdir = "/tmp/svtrek_bench_e2e"
+    flavor = "honest" if realistic_seq else "alla"
+    tmpdir = f"/tmp/svtrek_bench_e2e_{flavor}" if realistic_seq \
+        else "/tmp/svtrek_bench_e2e"
     os.makedirs(tmpdir, exist_ok=True)
-    tag = f"r{E2E_RECORDS}_d{E2E_DEPTH}_o{E2E_OPS}"
+    tag = f"r{E2E_RECORDS}_d{E2E_DEPTH}_o{E2E_OPS}_{flavor}"
     marker = os.path.join(tmpdir, f"done_{tag}")
-    bam = os.path.join(tmpdir, "bench.bam")
-    vcf = os.path.join(tmpdir, "bench.vcf")
     if not os.path.exists(marker):
-        build_fixture(tmpdir, E2E_RECORDS, E2E_DEPTH, E2E_OPS)
+        build_fixture(tmpdir, E2E_RECORDS, E2E_DEPTH, E2E_OPS,
+                      realistic_seq=realistic_seq)
         open(marker, "w").close()
+    return os.path.join(tmpdir, "bench.bam"), os.path.join(tmpdir, "bench.vcf")
+
+
+def _refbench_rate(bam: str, vcf: str, reps: int = 3) -> float:
+    """MEASURED reference baseline: the reference's own audit pipeline
+    (audit.c + tpool.c + refinement.c, compiled unmodified) against the
+    htslib-faithful real-file backend (tests/refshim/htsio.c), actually
+    running its 4-thread producer/consumer pipeline (audit.c:269-293) on
+    this host.  Returns the best-of-reps records/s over thread counts
+    {2, 4} (most favorable to the reference on this machine), 0.0 if the
+    binary can't be built."""
+    import subprocess
+
+    try:
+        from tests.refshim import build_bench_bin
+
+        bin_ = build_bench_bin()
+    except Exception as e:
+        print(f"[bench] refbench unavailable: {e}", file=sys.stderr)
+        return 0.0
+    n_rec = sum(1 for line in open(vcf) if line[0] != "#")
+    best = 0.0
+    for threads in (2, 4):
+        for rep in range(reps + 1):  # +1 warm run (OS page cache)
+            proc = subprocess.run(
+                [bin_, "audt", "-b", bam, "-v", vcf, "-t", str(threads)],
+                stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+                text=True, timeout=300,
+            )
+            # the reference's audit() returns 1 on success (audit.c:367)
+            if proc.returncode not in (0, 1):
+                print(f"[bench] refbench failed: {proc.stderr[-400:]}",
+                      file=sys.stderr)
+                return 0.0
+            if rep == 0:
+                continue
+            for line in proc.stderr.splitlines():
+                if line.startswith("REFBENCH_WALL"):
+                    best = max(best, n_rec / float(line.split()[1]))
+    return best
+
+
+def _ours_rate(bam: str, vcf: str, reps: int = 3):
+    """Framework best-of-reps records/s on one fixture (+ the lines)."""
+    import io as _io
+
+    from svtrek_tpu.config import AudtConfig
+    from svtrek_tpu.pipeline.audit import run_audit
 
     cfg = AudtConfig(bam_file=bam, vcf_file=vcf)
     run_audit(cfg, out=_io.StringIO(), err=_io.StringIO())  # warm/compile
-    t0 = time.perf_counter()
-    lines = run_audit(cfg, out=_io.StringIO(), err=_io.StringIO())
-    dt = time.perf_counter() - t0
-    rate = len(lines) / dt
+    best_dt = float("inf")
+    lines = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        lines = run_audit(cfg, out=_io.StringIO(), err=_io.StringIO())
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return len(lines) / best_dt, best_dt, lines
+
+
+def bench_e2e():
+    """End-to-end audt records/s on the REALISTIC fixture (random bases
+    + QUAL; BGZF payload genuinely incompressible), compared against the
+    measured reference binary (refbench).  The legacy all-'A' fixture's
+    numbers ride along in extra fields for round-to-round continuity."""
+    import re as _re
+
+    bam_h, vcf_h = _e2e_fixture(realistic_seq=True)
+    rate_h, dt_h, lines = _ours_rate(bam_h, vcf_h)
+    ref_h = _refbench_rate(bam_h, vcf_h)
 
     # Concordance (BASELINE.md metric): the fixture's VCF positions ARE
     # the planted truth, so a refined DEL/INS breakpoint should land
     # within a few bp (read start jitter is ±2).  INV is excluded — the
     # reference's INV refinement is a structural no-op (refinement.c:250).
-    import re as _re
-
     hits = total = 0
     for line in lines:
         if line.startswith("(INV)"):
@@ -266,43 +318,22 @@ def bench_e2e():
             hits += 1
     concordance = hits / total if total else 0.0
 
-    # C scalar e2e stand-in: native fetch + svbaseline_refine per window,
-    # one thread, scaled by the reference's 4 default threads.
-    base_rate = 0.0
-    lib = load_library()
-    reader = native_bam_reader(bam)
-    if lib is not None and reader is not None:
-        import svtrek_tpu.constants as C
+    bam_a, vcf_a = _e2e_fixture(realistic_seq=False)
+    rate_a, _, _ = _ours_rate(bam_a, vcf_a)
+    ref_a = _refbench_rate(bam_a, vcf_a)
 
-        with open(vcf) as fh:
-            tasks = [t for t in iter_vcf_tasks(fh)
-                     if not isinstance(t, VcfSkip)]
-        wins = []
-        for t in tasks:
-            ws, _ = windows_for_task(t, cfg)
-            wins.extend(ws)
-        t0 = time.perf_counter()
-        for w in wins:
-            packed = reader.fetch_packed(
-                w.chrom_index - 1, int(C.u32(w.inter_start - 1)),
-                int(C.u32(w.inter_end - 1)))
-            baseline_refine(lib, w.kind, packed, w.inter_start, w.inter_end,
-                            w.imprecise_pos, cfg.consensus_min_count,
-                            cfg.consensus_interval,
-                            cfg.consensus_interval_range)
-        c_dt = time.perf_counter() - t0
-        base_rate = len(tasks) / c_dt
-        reader.close()
-
-    vs = rate / (base_rate * REF_THREADS) if base_rate else 0.0
     return {
         "metric": "audt_records_per_sec",
-        "value": round(rate, 1),
+        "value": round(rate_h, 1),
         "unit": "records/s",
-        "vs_baseline": round(vs, 3),
+        "vs_baseline": round(rate_h / ref_h, 3) if ref_h else 0.0,
         "records": len(lines),
-        "wall_s": round(dt, 3),
+        "wall_s": round(dt_h, 3),
         "concordance_within_5bp": round(concordance, 4),
+        "baseline_refbench_rec_per_sec": round(ref_h, 1),
+        "alla_fixture_rec_per_sec": round(rate_a, 1),
+        "alla_fixture_refbench_rec_per_sec": round(ref_a, 1),
+        "alla_fixture_vs_baseline": round(rate_a / ref_a, 3) if ref_a else 0.0,
     }
 
 
@@ -439,9 +470,12 @@ def main():
     if len(sys.argv) > 1:  # run one stage inline: bench.py <stage>
         print(json.dumps(globals()[sys.argv[1]]()))
         return
-    result = _run_isolated("bench_kernel")
+    # Headline = the user-facing number (end-to-end audt records/s vs
+    # the MEASURED reference binary); kernel/scan/POA throughputs ride
+    # in extra (VERDICT r2: headline and story must agree).
+    result = _run_isolated("bench_e2e")
     extra = []
-    for fn in ("bench_e2e", "bench_scan", "bench_poa"):
+    for fn in ("bench_kernel", "bench_scan", "bench_poa"):
         try:
             extra.append(_run_isolated(fn))
         except Exception as e:  # keep the headline alive on partial failure

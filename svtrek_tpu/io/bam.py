@@ -28,6 +28,18 @@ _SEQ_NIBBLES = "=ACMGRSVTWYHKDBN"
 _NIB = {c: i for i, c in enumerate(_SEQ_NIBBLES)}
 
 
+def _build_nib_lut():
+    import numpy as np
+
+    lut = np.full(256, 15, np.uint8)  # unknown bases → 15 ('N'-ish)
+    for c, i in _NIB.items():
+        lut[ord(c)] = i
+    return lut
+
+
+_NIB_LUT = _build_nib_lut()
+
+
 @dataclass
 class BamRecord:
     name: str
@@ -61,11 +73,14 @@ def encode_record(rec: BamRecord) -> bytes:
     if rec.seq and rec.seq != "*":
         seq = rec.seq
         l_seq = len(seq)
-        nib = bytearray((l_seq + 1) // 2)
-        for i, base in enumerate(seq):
-            v = _NIB.get(base.upper(), 15)
-            nib[i // 2] |= v << (4 if i % 2 == 0 else 0)
-        seq_b = bytes(nib)
+        import numpy as _np
+
+        codes = _NIB_LUT[_np.frombuffer(
+            seq.upper().encode("latin-1", "replace"), _np.uint8)]
+        if l_seq % 2:
+            codes = _np.append(codes, _np.uint8(0))
+        seq_b = ((codes[0::2] << 4) | codes[1::2]).astype(_np.uint8) \
+            .tobytes()
         qual_b = rec.qual if rec.qual else b"\xff" * l_seq
     else:
         l_seq = 0

@@ -164,6 +164,53 @@ def test_golden_audit_end_to_end(tmp_path, seed):
             + f"\nlen ref={len(want)} ours={len(got)}")
 
 
+@pytest.mark.parametrize("seed", [0, 5])
+def test_golden_audit_real_file_backend(tmp_path, seed):
+    """refbench — the reference driver on REAL BAM/BAI files via the
+    htslib-faithful backend (tests/refshim/htsio.c) — must match our
+    pipeline byte-for-byte.  This is the measured-performance baseline
+    of bench.py, so its correctness is load-bearing: a wrong backend
+    would invalidate the vs_baseline ratio."""
+    try:
+        bench_bin = refshim.build_bench_bin()
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"refbench unavailable: {e}")
+    rng = np.random.default_rng(seed)
+    reads = gen_reads(rng)
+    header = ("##fileformat=VCFv4.2\n"
+              "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+    vcf_text = header + "\n".join(gen_vcf_lines(rng)) + "\n"
+
+    bam = str(tmp_path / "real.bam")
+    with BamWriter(bam, [("1", CHROM_LEN), ("2", CHROM_LEN)]) as w:
+        for k, (tid, pos, cigar) in enumerate(reads):
+            qlen = sum(l for op, l in cigar if op in (0, 1, 4))
+            seq = "ACGT" * (qlen // 4 + 1)
+            w.write(BamRecord(name=f"r{k}", flag=0, tid=tid, pos=pos,
+                              mapq=60, cigar=cigar, seq=seq[:qlen]))
+    vcf = tmp_path / "real.vcf"
+    # sentinel padding flushes the reference's trailing-record queue bug
+    sentinels = "".join(f"1\t{1000 + i}\tpad{i}\tA\tC\t.\tPASS\tDP=1\n"
+                        for i in range(4))
+    vcf.write_text(vcf_text + sentinels)
+    proc = subprocess.run(
+        [bench_bin, "audt", "-b", bam, "-v", str(vcf), "-t", "1"],
+        capture_output=True, text=True, timeout=240)
+    assert proc.returncode == 1, (proc.returncode, proc.stderr[-2000:])
+    want = [l for l in proc.stdout.splitlines() if l.startswith("(")]
+    assert want, "refbench produced no result lines"
+
+    import io
+
+    cfg = AudtConfig(bam_file=bam, vcf_file=str(tmp_path / "ours.vcf"))
+    (tmp_path / "ours.vcf").write_text(vcf_text)
+    got = run_audit(cfg, out=io.StringIO(), err=io.StringIO())
+    assert got == want, (
+        "\n".join(f"ref: {a!r}\nours:{b!r}"
+                  for a, b in zip(want, got) if a != b)
+        + f"\nlen ref={len(want)} ours={len(got)}")
+
+
 def test_golden_audit_dense_window(tmp_path):
     """Dense evidence (overflow regimes) against the real driver."""
     rng = np.random.default_rng(9)

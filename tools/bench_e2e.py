@@ -56,8 +56,19 @@ def noisy_cigar(rng, n_ops, sv_op=None, sv_len=0, lead=2000):
     return cig
 
 
-def build_fixture(tmpdir, n_records, depth, ops_per_read, seed=0):
+def build_fixture(tmpdir, n_records, depth, ops_per_read, seed=0,
+                  realistic_seq=False):
+    """Write the synthetic BAM+VCF benchmark fixture.
+
+    realistic_seq=False keeps the historical all-'A' SEQ (compresses to
+    nearly nothing; flatters BGZF decode).  realistic_seq=True writes
+    random ACGT bases + noisy QUAL — BGZF blocks then carry
+    realistically incompressible payload, stressing the decode path the
+    way a real long-read BAM does (VERDICT r2 'what's weak' item 1)."""
     rng = random.Random(seed)
+    import numpy as _np
+
+    nprng = _np.random.default_rng(seed)
     chrom_len = 120_000_000
     bam_path = os.path.join(tmpdir, "bench.bam")
     vcf_path = os.path.join(tmpdir, "bench.vcf")
@@ -94,8 +105,16 @@ def build_fixture(tmpdir, n_records, depth, ops_per_read, seed=0):
     with BamWriter(bam_path, [("1", chrom_len)]) as w:
         for i, (start0, cig) in enumerate(reads):
             qlen = sum(l for op, l in cig if op in (CIGAR_M, CIGAR_I, CIGAR_S))
+            if realistic_seq:
+                seq = nprng.integers(0, 4, qlen, dtype=_np.uint8)
+                seq = bytes(_np.frombuffer(b"ACGT", _np.uint8)[seq]) \
+                    .decode("ascii")
+                qual = nprng.integers(10, 50, qlen, dtype=_np.uint8) \
+                    .tobytes()
+            else:
+                seq, qual = "A" * qlen, None
             w.write(BamRecord(name=f"r{i}", flag=0, tid=0, pos=start0,
-                              mapq=60, cigar=cig, seq="A" * qlen))
+                              mapq=60, cigar=cig, seq=seq, qual=qual))
 
     with open(vcf_path, "w") as fh:
         fh.write("##fileformat=VCFv4.2\n")
