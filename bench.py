@@ -444,6 +444,98 @@ def bench_poa():
     }
 
 
+def bench_scaling():
+    """Scaling efficiency (BASELINE.md metric 4) — what is honestly
+    measurable without a multi-chip slice:
+
+    1. HARDWARE strong scaling: the 8-way-sharded audit step (CPU mesh,
+       the dryrun_multichip deployment shape) pinned to 1 vs 2 physical
+       cores via taskset — a true 2x-hardware data point; the >=80%
+       check applies here.
+    2. Virtual-device curve (1/2/4/8 devices, all cores): shard_map
+       overhead behavior.  XLA-CPU multithreads even a 1-device program,
+       so this curve's 'efficiency' column underestimates real scaling;
+       it exists to show sharding 8 ways costs ~nothing vs 1 way.
+    3. Real-chip shard_map overhead: sharded (1-device mesh) vs
+       unsharded jit of the same step on the TPU.
+    """
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    script = os.path.join(here, "tools", "bench_scaling_cpu.py")
+    cpu_env = dict(
+        os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+
+    def run(cmd, env):
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=560, env=env, cwd=here)
+        for line in proc.stdout.splitlines():
+            if line.startswith("SCALING_JSON:"):
+                return json.loads(line[len("SCALING_JSON:"):])
+        raise RuntimeError(f"no scaling json: {proc.stderr[-800:]}")
+
+    curve = run([sys.executable, script], cpu_env)["curve"]
+    pin_env = dict(cpu_env, SVTREK_SCALING_N="8")
+    t_1core = run(["taskset", "-c", "0", sys.executable, script],
+                  pin_env)["curve"]["8"]["step_ms"]
+    t_2core = run(["taskset", "-c", "0,1", sys.executable, script],
+                  pin_env)["curve"]["8"]["step_ms"]
+    eff = t_1core / (2.0 * t_2core)
+
+    # Real-chip shard_map overhead (1-device mesh vs plain jit).
+    import jax
+
+    from svtrek_tpu.ops.audit_step import audit_refine_step
+    from svtrek_tpu.parallel.mesh import make_mesh, sharded_audit_step
+
+    global B
+    B_saved, B = B, 2048
+    try:
+        work = make_workload()
+    finally:
+        B = B_saved
+    ops, lens, pos, n_ops, wid, kind, istart, iend, ipos = work
+    args_np = (ops, lens, pos.astype(np.int32), n_ops, wid, kind,
+               istart.astype(np.int32), iend.astype(np.int32),
+               ipos.astype(np.int32))
+    args = [jax.device_put(x) for x in args_np]
+
+    def time_step(fn):
+        r = fn()
+        jax.block_until_ready(r)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                r = fn()
+            jax.block_until_ready(r)
+            best = min(best, time.perf_counter() - t0)
+        return best / 10
+
+    t_plain = time_step(lambda: audit_refine_step(
+        *args, num_windows=2048, K=K))
+    mesh = make_mesh(jax.devices()[:1])
+    step = sharded_audit_step(mesh, num_windows=2048, K=K)
+    t_shard = time_step(lambda: step(*args))
+
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "fraction (1->2 physical cores, 8-way-sharded step)",
+        "vs_baseline": round(eff / 0.80, 3),  # BASELINE.md asks >= 0.80
+        "meets_80pct_target": bool(eff >= 0.80),
+        "pinned_step_ms": {"1_core": t_1core, "2_cores": t_2core},
+        "virtual_device_curve": curve,
+        "real_chip_shardmap_overhead": round(t_shard / t_plain, 3),
+        "note": ("2 physical cores is the hardware ceiling of this host; "
+                 "the virtual-device curve shows shard-count overhead, "
+                 "not hardware scaling (XLA-CPU multithreads 1-device "
+                 "programs)."),
+    }
+
+
 def _run_isolated(name: str):
     """Run one bench stage in its own subprocess: device/executable
     state from earlier stages measurably degrades later ones (the POA
@@ -475,7 +567,7 @@ def main():
     # in extra (VERDICT r2: headline and story must agree).
     result = _run_isolated("bench_e2e")
     extra = []
-    for fn in ("bench_kernel", "bench_scan", "bench_poa"):
+    for fn in ("bench_kernel", "bench_scan", "bench_poa", "bench_scaling"):
         try:
             extra.append(_run_isolated(fn))
         except Exception as e:  # keep the headline alive on partial failure

@@ -134,6 +134,8 @@ def sharded_audit_step(mesh: Mesh, *, num_windows: int, K: int,
         mesh=mesh,
         in_specs=(spec,) * 9,
         out_specs=(spec, spec, spec),
+        # the Pallas sweep kernel can't annotate vma on its out_shapes
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -168,6 +170,7 @@ def sharded_consensus_step(mesh: Mesh, *, num_windows: int,
         local, mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=(spec, spec),
+        check_vma=False,
     )
     return jax.jit(fn)
 
