@@ -89,8 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
              "(the reference's dead sliding_window_ins made real).",
     )
     scan.add_argument("-b", "--bam", required=True)
-    scan.add_argument("-c", "--chrom", type=int, required=True,
-                      help="Numeric chromosome (1-based, tid = chrom-1)")
+    scan.add_argument("-c", "--chrom", required=True,
+                      help="Numeric chromosome (1-based, tid = chrom-1), "
+                      "or a reference name with --chrom-by-name")
     scan.add_argument("-s", "--start", type=int, required=True)
     scan.add_argument("-e", "--end", type=int, required=True)
     _add_common(scan)
@@ -99,6 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
     scan.add_argument("--batch-windows", type=int, default=8192,
                       help="[TPU] sub-windows per device batch")
     scan.add_argument("--no-native-io", action="store_true")
+    scan.add_argument("--chrom-by-name", action="store_true",
+                      help="[TPU] resolve -c against the BAM header "
+                      "(chr-prefix tolerant) instead of the reference's "
+                      "numeric tid = chrom-1 assumption")
 
     disc = sub.add_parser("disc", help="Variation discovery on graph alignment result.")
     disc.add_argument("-r", "--gfa", required=True)
@@ -107,6 +112,13 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(disc)
     disc.add_argument("--sv-min-length", type=int, default=C.SV_MIN_LENGTH,
                       help="[TPU] minimum SV length for discovery")
+    disc.add_argument("--resume", action="store_true", default=False,
+                      help="[TPU] checkpoint the detection phase to "
+                           "<output>.ckpt.npz and restore it on rerun "
+                           "(invalidated when the GFA/GAF inputs change)")
+    disc.add_argument("--data-shards", type=int, default=0,
+                      help="[TPU] mesh shards per detection batch "
+                           "(0 = all local devices)")
     return ap
 
 
@@ -159,8 +171,19 @@ def main(argv=None) -> int:
     if args.mode == "scan":
         from .config import ScanConfig
 
+        if args.chrom_by_name:
+            chrom, chrom_name = 0, args.chrom
+        else:
+            try:
+                chrom, chrom_name = int(args.chrom), ""
+            except ValueError:
+                print(f"[ERROR] -c {args.chrom!r} is not numeric; use "
+                      f"--chrom-by-name to pass a reference name.",
+                      file=sys.stderr)
+                return 1
         cfg = ScanConfig(
-            bam_file=args.bam, chrom=args.chrom, start=args.start,
+            bam_file=args.bam, chrom=chrom, chrom_name=chrom_name,
+            chrom_by_name=args.chrom_by_name, start=args.start,
             end=args.end, window_size=args.window_size,
             slide_size=args.slide_size, output_file=args.output,
             thread_number=args.threads, verbose=args.verbose,
@@ -184,6 +207,8 @@ def main(argv=None) -> int:
             consensus_interval=args.consensus_interval,
             consensus_min_count=args.consensus_min_count,
             sv_min_length=args.sv_min_length,
+            resume=args.resume,
+            data_shards=args.data_shards,
         )
         validate_file(cfg.gfa_file, "[ERROR] r/GFA file is not provided.")
         validate_file(cfg.gaf_file, "[ERROR] GAF file is not provided.")

@@ -65,6 +65,9 @@ class ScanConfig:
 
     bam_file: str = ""
     chrom: int = 1                  # numeric, 1-based (refinement.c:114 tid map)
+    chrom_name: str = ""            # with chrom_by_name: CHROM as a name
+    chrom_by_name: bool = False     # resolve chrom_name via the BAM header
+                                    # (off = reference parity: tid=chrom-1)
     start: int = 1                  # 1-based interval start
     end: int = 1                    # 1-based interval end (exclusive tiling stop)
     window_size: int = 1000         # sub-window width AND cluster width
@@ -99,3 +102,7 @@ class DiscConfig:
     # TPU-native additions:
     sv_min_length: int = C.SV_MIN_LENGTH
     batch_reads: int = 512
+    resume: bool = False            # checkpoint/restore the detection
+                                    # phase (<output>.ckpt.npz)
+    data_shards: int = 0            # mesh shards per detection batch
+                                    # (0 = all local devices)

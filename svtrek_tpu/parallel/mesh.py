@@ -140,6 +140,53 @@ def sharded_audit_step(mesh: Mesh, *, num_windows: int, K: int,
     return jax.jit(fn)
 
 
+def sharded_audit_step_csr(mesh: Mesh, *, num_windows: int, K: int, O: int,
+                           min_count: int = C.CONSENSUS_MIN_COUNT,
+                           interval: int = C.CONSENSUS_INTERVAL,
+                           range_: int = C.CONSENSUS_INTERVAL_RANGE,
+                           sweep_width: int = 128):
+    """Multi-chip step for the flat (CSR) device-extract layout
+    (ops.audit_step.AuditBatchCSR): each shard receives its own block of
+    the flat op stream and scatters it into the padded [N_loc, O]
+    matrices in its own HBM — the host link still carries only the real
+    CIGAR ops (~half the padded bytes), now per shard (VERDICT r2 weak
+    7: the CSR step is worth keeping, so it shards).
+
+    Layout contract (pack.pack_chunk_native with n_shards > 1): every
+    axis shard-blockwise — flat T, reads N, windows B all divisible by
+    the mesh size; window_id shard-local with padding sentinel B_loc;
+    per-shard flat tails beyond sum(local n_ops) are unobserved garbage.
+    """
+    from ..ops.audit_step import csr_to_padded
+
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+    if num_windows % n:
+        raise ValueError(
+            f"num_windows {num_windows} not divisible by mesh size {n}")
+    b_loc = num_windows // n
+
+    def local(ops_flat, lens_flat, pos, n_ops, window_id,
+              kind, inter_start, inter_end, imprecise_pos):
+        ops, lens = csr_to_padded(ops_flat, lens_flat, n_ops, O=O)
+        return _local_audit_step(
+            ops, lens, pos, n_ops, window_id,
+            kind, inter_start, inter_end, imprecise_pos,
+            num_windows_local=b_loc, K=K,
+            min_count=min_count, interval=interval, range_=range_,
+            sweep_width=sweep_width,
+        )
+
+    spec = P(axis)
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec,) * 9,
+        out_specs=(spec, spec, spec),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def sharded_consensus_step(mesh: Mesh, *, num_windows: int,
                            min_count: int = C.CONSENSUS_MIN_COUNT,
                            interval: int = C.CONSENSUS_INTERVAL,

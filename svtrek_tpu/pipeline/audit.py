@@ -127,6 +127,22 @@ def _get_sharded_step(n_dev: int, num_windows: int, K: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _get_sharded_csr(n_dev: int, num_windows: int, K: int, O: int,
+                     min_count: int, interval: int, range_: int,
+                     sweep_width: int = 128):
+    import jax
+
+    from ..parallel.mesh import make_mesh, sharded_audit_step_csr
+
+    mesh = make_mesh(jax.devices()[:n_dev])
+    return sharded_audit_step_csr(
+        mesh, num_windows=num_windows, K=K, O=O,
+        min_count=min_count, interval=interval, range_=range_,
+        sweep_width=sweep_width,
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def _get_sharded_consensus(n_dev: int, num_windows: int,
                            min_count: int, interval: int, range_: int,
                            sweep_width: int):
@@ -192,6 +208,15 @@ def dispatch_refinement(packed, cfg: AudtConfig):
         )
     K = _next_pow2(min(cfg.max_candidates, 8192), 64)
     if isinstance(b, AuditBatchCSR):
+        if packed.n_shards > 1:
+            step = _get_sharded_csr(
+                packed.n_shards, b.num_windows, K, b.ops_width,
+                cfg.consensus_min_count, cfg.consensus_interval,
+                cfg.consensus_interval_range, sweep_width,
+            )
+            return step(b.ops_flat, b.lens_flat, b.pos, b.n_ops,
+                        b.window_id, b.kind, b.inter_start, b.inter_end,
+                        b.imprecise_pos)
         return audit_refine_step_csr(
             b.ops_flat, b.lens_flat, b.pos, b.n_ops, b.window_id,
             b.kind, b.inter_start, b.inter_end, b.imprecise_pos,
@@ -479,9 +504,11 @@ def run_audit(cfg: AudtConfig, out=None, err=None) -> list[str]:
                 # Host-extract fast path: C does the fetch AND the
                 # evidence walk; the device gets K candidates/window.
                 pb = pack_chunk_cand(chunk, reader, cfg, n_shards=n_shards)
-            elif n_shards == 1 and hasattr(reader, "fetch_batch"):
-                # All-in-C fetch + scatter into packed CIGAR matrices.
-                pb = pack_chunk_native(chunk, reader, cfg)
+            elif hasattr(reader, "fetch_batch"):
+                # All-in-C fetch + CSR scatter (flat on the host link,
+                # padded in HBM); shard-blockwise when a mesh is up.
+                pb = pack_chunk_native(chunk, reader, cfg,
+                                       n_shards=n_shards)
             else:
                 pb = pack_chunk(chunk, tls.fetch, cfg, n_shards=n_shards)
             dt = time.perf_counter() - t0

@@ -17,6 +17,8 @@ support >= consensus_min_count, sorted by (type, position).
 """
 from __future__ import annotations
 
+import hashlib
+import os
 import sys
 from dataclasses import dataclass, field
 
@@ -186,27 +188,95 @@ def consensus_insert_sequences(
             c.seq = s
 
 
+def _ckpt_key(cfg: DiscConfig) -> str:
+    """Input-identity key for the detection checkpoint: GFA/GAF path +
+    size + mtime + the detection parameter.  A different input or
+    min-length invalidates the checkpoint instead of silently reusing
+    stale breakpoints (same refusal discipline as audt's resume identity
+    check, pipeline/audit.py)."""
+    h = hashlib.sha256()
+    for p in (cfg.gfa_file, cfg.gaf_file):
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+    h.update(f"minlen={cfg.sv_min_length}".encode())
+    return h.hexdigest()[:16]
+
+
+def _ckpt_path(cfg: DiscConfig) -> str:
+    return (cfg.output_file or "svtrek.disc") + ".ckpt.npz"
+
+
+def _save_ckpt(cfg: DiscConfig, bps: list[Breakpoint]) -> None:
+    np.savez_compressed(
+        _ckpt_path(cfg),
+        key=np.array(_ckpt_key(cfg)),
+        read_name=np.array([b.read_name for b in bps], dtype=object),
+        type=np.array([b.type for b in bps], dtype=object),
+        ref_pos=np.array([b.ref_pos for b in bps], np.int64),
+        read_pos=np.array([b.read_pos for b in bps], np.int64),
+        length=np.array([b.length for b in bps], np.int64),
+        rc=np.array([b.rc for b in bps], bool),
+    )
+
+
+def _load_ckpt(cfg: DiscConfig) -> list[Breakpoint] | None:
+    path = _ckpt_path(cfg)
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=True) as z:
+        if str(z["key"]) != _ckpt_key(cfg):
+            return None
+        return [
+            Breakpoint(str(n), str(t), int(rp), int(qp), int(ln), bool(rc))
+            for n, t, rp, qp, ln, rc in zip(
+                z["read_name"], z["type"], z["ref_pos"],
+                z["read_pos"], z["length"], z["rc"],
+            )
+        ]
+
+
 def run_discover(cfg: DiscConfig, out=None, err=None) -> list[str]:
     out = out or sys.stdout
     err = err or sys.stderr
 
     print("[INFO] Started graph discovery.", file=out)
-    gfa = parse_gfa(cfg.gfa_file)
-    errors: list[str] = []
-    projected = iter_gaf(cfg.gaf_file, gfa, errors)
-    bps = detect_breakpoints(projected, cfg.sv_min_length, cfg.batch_reads)
-    for name in errors:
-        print(f"[ERROR] Read {name} has an invalid path.", file=err)
+    bps = _load_ckpt(cfg) if getattr(cfg, "resume", False) else None
+    if bps is not None:
+        print(f"[INFO] Resume: {len(bps)} breakpoint(s) restored from "
+              f"{_ckpt_path(cfg)}; skipping GFA/GAF projection.", file=err)
+    else:
+        gfa = parse_gfa(cfg.gfa_file)
+        errors: list[str] = []
+        projected = iter_gaf(cfg.gaf_file, gfa, errors)
+        bps = detect_breakpoints(projected, cfg.sv_min_length,
+                                 cfg.batch_reads)
+        for name in errors:
+            print(f"[ERROR] Read {name} has an invalid path.", file=err)
+        if getattr(cfg, "resume", False):
+            # Checkpoint the expensive phase (projection + device scan)
+            # so an interrupted consensus pass restarts cheaply.
+            _save_ckpt(cfg, bps)
 
     clusters = cluster_breakpoints(bps, cfg.consensus_min_count)
     consensus_insert_sequences(clusters, cfg.fq_file)
 
-    lines = [c.line() for c in clusters]
-    for line in lines:
-        print(line, file=out)
-    print("[INFO] Ended graph discovery.", file=out)
-
+    # Stream result lines to the output file as they are finalized
+    # (VERDICT r2: disc's output was one non-streamed join; audt and
+    # scan both stream).
+    file_out = None
     if cfg.output_file and out is sys.stdout:
-        with open(cfg.output_file, "w") as fh:
-            fh.write("\n".join(lines) + ("\n" if lines else ""))
+        file_out = open(cfg.output_file, "w")
+    lines = []
+    try:
+        for c in clusters:
+            line = c.line()
+            lines.append(line)
+            print(line, file=out)
+            if file_out is not None:
+                file_out.write(line + "\n")
+                file_out.flush()
+    finally:
+        if file_out is not None:
+            file_out.close()
+    print("[INFO] Ended graph discovery.", file=out)
     return lines

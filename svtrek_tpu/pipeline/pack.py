@@ -348,8 +348,8 @@ def pack_chunk(
     return _pack_one(items, cfg)
 
 
-def pack_chunk_native(window_chunk: Sequence[WindowSpec], reader, cfg
-                      ) -> PackedBatch:
+def pack_chunk_native(window_chunk: Sequence[WindowSpec], reader, cfg,
+                      n_shards: int = 1) -> PackedBatch:
     """Dense (single-device) fetch + pack, all heavy work in C.
 
     One `svbam_fetch_batch` call pulls every window's reads (GIL
@@ -379,7 +379,12 @@ def pack_chunk_native(window_chunk: Sequence[WindowSpec], reader, cfg
         def fetch(tid, beg, end):
             return PackedReads(*reader.fetch_packed(tid, int(beg), int(end)))
 
-        return pack_chunk(window_chunk, fetch, cfg, n_shards=1)
+        return pack_chunk(window_chunk, fetch, cfg, n_shards=n_shards)
+
+    if n_shards > 1:
+        return _pack_native_sharded(window_chunk, reader, cfg, n_shards,
+                                    total, counts, max_ops,
+                                    tids, begs, ends)
 
     O = _bucket(max(max_ops, 1), OPS_BUCKETS)
     B = max(cfg.batch_windows, n_win, 1)
@@ -426,6 +431,92 @@ def pack_chunk_native(window_chunk: Sequence[WindowSpec], reader, cfg
         windows=list(window_chunk),
         reads_per_window=reads_per_window,
         oracle_windows=[],
+    )
+
+
+def _pack_native_sharded(window_chunk, reader, cfg, n_shards: int,
+                         total: int, counts: np.ndarray, max_ops: int,
+                         tids: np.ndarray, begs: np.ndarray,
+                         ends: np.ndarray) -> PackedBatch:
+    """Shard-blockwise CSR packing for `sharded_audit_step_csr`.
+
+    The native fetch already laid reads out in window order, so a
+    contiguous window→shard split keeps every per-shard read/flat-op
+    range a contiguous slice — the blocks are plain memcpys, no
+    re-gather (contrast _pack_one_sharded, which must re-bin Python-side
+    PackedReads).  Layout contract: T/N/B all divisible by n_shards,
+    window_id shard-local (padding sentinel b_loc), flat tails garbage.
+    """
+    n_win = len(window_chunk)
+    O = _bucket(max(max_ops, 1), OPS_BUCKETS)
+    rpos, rnops, fops, flens = reader.batch_flat_n(total)
+
+    b_loc = max(-(-cfg.batch_windows // n_shards), -(-n_win // n_shards), 1)
+    B = n_shards * b_loc
+
+    counts64 = counts.astype(np.int64)
+    roff = np.concatenate([[0], np.cumsum(counts64)])       # per-window reads
+    nops64 = rnops.astype(np.int64)
+    ooff = np.concatenate([[0], np.cumsum(nops64)])         # per-read flat ops
+
+    # Per-shard window ranges (contiguous) and their read/flat slices.
+    wlo = [min(s * b_loc, n_win) for s in range(n_shards + 1)]
+    rlo = [int(roff[w]) for w in wlo]
+    olo = [int(ooff[r]) for r in rlo]
+    n_loc = _pow2(max(1, max(rlo[s + 1] - rlo[s]
+                             for s in range(n_shards))), lo=64)
+    t_loc = _pow2(max(1, max(olo[s + 1] - olo[s]
+                             for s in range(n_shards))), lo=256)
+
+    N = n_shards * n_loc
+    T = n_shards * t_loc
+    ops_flat = np.zeros(T, np.uint8)
+    lens_flat = np.zeros(T, np.int32)
+    pos = np.zeros(N, np.int32)
+    n_ops = np.zeros(N, np.int32)          # padding rows MUST be 0
+    wid = np.full(N, b_loc, np.int32)      # shard-local padding sentinel
+    kind = np.full(B, KIND_POINT, np.int32)
+    istart = np.zeros(B, np.int32)
+    iend = np.zeros(B, np.int32)
+    ipos = np.zeros(B, np.int32)
+
+    window_slots: list[int] = []
+    for s in range(n_shards):
+        a, b = wlo[s], wlo[s + 1]
+        ra, rb = rlo[s], rlo[s + 1]
+        oa, ob = olo[s], olo[s + 1]
+        pos[s * n_loc : s * n_loc + (rb - ra)] = rpos[ra:rb].astype(np.int32)
+        n_ops[s * n_loc : s * n_loc + (rb - ra)] = rnops[ra:rb]
+        wid[s * n_loc : s * n_loc + (rb - ra)] = np.repeat(
+            np.arange(b - a, dtype=np.int32), counts[a:b])
+        ops_flat[s * t_loc : s * t_loc + (ob - oa)] = fops[oa:ob]
+        lens_flat[s * t_loc : s * t_loc + (ob - oa)] = flens[oa:ob]
+        for k, w in enumerate(window_chunk[a:b]):
+            g = s * b_loc + k
+            kind[g] = w.kind
+            istart[g] = np.int64(w.inter_start).astype(np.int32)
+            iend[g] = np.int64(w.inter_end).astype(np.int32)
+            ipos[g] = np.int64(w.imprecise_pos).astype(np.int32)
+            window_slots.append(g)
+
+    bam_path = reader.path
+    reads_per_window = [
+        LazyWindowReads(bam_path, int(tids[i]), int(begs[i]), int(ends[i]))
+        for i in range(n_win)
+    ]
+
+    batch = AuditBatchCSR(
+        ops_flat=ops_flat, lens_flat=lens_flat, pos=pos, n_ops=n_ops,
+        window_id=wid, kind=kind, inter_start=istart, inter_end=iend,
+        imprecise_pos=ipos, ops_width=O,
+    )
+    return PackedBatch(
+        batch=batch,
+        windows=list(window_chunk),
+        reads_per_window=reads_per_window,
+        oracle_windows=[],
+        n_shards=n_shards,
+        window_slots=window_slots,
     )
 
 

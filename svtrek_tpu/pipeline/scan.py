@@ -50,10 +50,24 @@ def scan_tiles(cfg: ScanConfig) -> list[tuple[int, int]]:
     return tiles
 
 
+def resolve_scan_tid(cfg: ScanConfig, reader=None) -> int:
+    """tid for the scan region: the reference's numeric tid = chrom-1
+    (sliding_window.c:27 via refinement.c:114), or --chrom-by-name
+    resolution against the BAM header (the same extension audt has)."""
+    if getattr(cfg, "chrom_by_name", False):
+        if reader is None:
+            return -1
+        if hasattr(reader, "tid_by_name"):
+            return reader.tid_by_name(cfg.chrom_name)
+        return reader.tid_of(cfg.chrom_name)
+    return cfg.chrom - 1
+
+
 def run_scan_tiles(
     tiles: list[tuple[int, int]],
     fetch,
     cfg: ScanConfig,
+    tid: int | None = None,
 ) -> list[tuple[int, int]]:
     """Run the windowed scan over pre-built tiles.
 
@@ -62,7 +76,8 @@ def run_scan_tiles(
     """
     results: list[tuple[int, int]] = [(-1, 0)] * len(tiles)
     K = _next_pow2(min(cfg.max_candidates, 8192), 64)
-    tid = cfg.chrom - 1
+    if tid is None:
+        tid = cfg.chrom - 1
 
     for base in range(0, len(tiles), cfg.batch_windows):
         chunk = tiles[base : base + cfg.batch_windows]
@@ -133,6 +148,7 @@ def run_scan_tiles_native(
     tiles: list[tuple[int, int]],
     reader,
     cfg: ScanConfig,
+    tid: int | None = None,
 ) -> list[tuple[int, int]]:
     """audt-grade host path for scan: one C fetch_batch + one C
     extract_batch call per chunk (GIL released throughout), the strided
@@ -141,7 +157,8 @@ def run_scan_tiles_native(
     re-fetched and scanned by the scalar oracle (exactness preserved)."""
     results: list[tuple[int, int]] = [(-1, 0)] * len(tiles)
     K = _next_pow2(min(cfg.max_candidates, 8192), 64)
-    tid = cfg.chrom - 1
+    if tid is None:
+        tid = cfg.chrom - 1
 
     for base in range(0, len(tiles), cfg.batch_windows):
         chunk = tiles[base : base + cfg.batch_windows]
@@ -209,10 +226,12 @@ def run_scan(cfg: ScanConfig, out=None, err=None) -> tuple[int, list[str]]:
 
     tiles = scan_tiles(cfg)
     if reader is not None and hasattr(reader, "extract_batch"):
-        results = run_scan_tiles_native(tiles, reader, cfg)
+        tid = resolve_scan_tid(cfg, reader)
+        results = run_scan_tiles_native(tiles, reader, cfg, tid=tid)
     else:
         if reader is None:
             reader = BamReader(cfg.bam_file)
+        tid = resolve_scan_tid(cfg, reader)
 
         def fetch(tid, beg, end):
             return [
@@ -220,7 +239,7 @@ def run_scan(cfg: ScanConfig, out=None, err=None) -> tuple[int, list[str]]:
                 for rec in reader.fetch(tid, int(beg), int(end))
             ]
 
-        results = run_scan_tiles(tiles, fetch, cfg)
+        results = run_scan_tiles(tiles, fetch, cfg, tid=tid)
 
     lines = []
     best_overall, support_overall = -1, 0

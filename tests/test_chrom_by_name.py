@@ -81,3 +81,50 @@ def test_unknown_chrom_warns(chrx_fixture):
     lines = run_audit(cfg, out=io.StringIO(), err=err)
     assert "not in the BAM header" in err.getvalue()
     assert "ref pos: NA" in lines[0]
+
+
+# ---- scan mode (VERDICT r2 item 8: scan lacked --chrom-by-name) ----
+
+@pytest.fixture(scope="module")
+def chrx_ins_bam(tmp_path_factory):
+    """INS-supporting reads on a BAM whose only reference is 'chrX'."""
+    d = tmp_path_factory.mktemp("chrx_scan")
+    bam = str(d / "xi.bam")
+    import random
+
+    rng = random.Random(5)
+    sv = PlantedSV(1, 50_000, 50_001, "INS", 120)
+    reads = sorted((s, c) for s, c, _ in simulate_reads_for_sv(sv, rng))
+    with BamWriter(bam, [("chrX", 500_000)]) as w:
+        for i, (start0, cigar) in enumerate(reads):
+            qlen = sum(l for op, l in cigar if op in (0, 1, 4))
+            w.write(BamRecord(name=f"r{i}", flag=0, tid=0, pos=start0,
+                              mapq=60, cigar=cigar, seq="A" * qlen))
+    return bam
+
+
+@pytest.mark.parametrize("native", [True, False])
+@pytest.mark.parametrize("name", ["chrX", "X"])
+def test_scan_chrom_by_name(chrx_ins_bam, native, name):
+    """scan -c chrX --chrom-by-name finds the planted INS (chr-prefix
+    tolerant in both directions, like audt)."""
+    from svtrek_tpu.config import ScanConfig
+    from svtrek_tpu.pipeline.scan import run_scan
+
+    cfg = ScanConfig(bam_file=chrx_ins_bam, chrom_by_name=True,
+                     chrom_name=name, start=45_000, end=55_000,
+                     window_size=1000, use_native_io=native)
+    best, _ = run_scan(cfg, out=io.StringIO())
+    assert abs(best - 50_000) <= 5
+
+
+def test_scan_numeric_parity_misses(chrx_ins_bam):
+    """Without the flag, chrom=9 -> tid 8 (reference parity,
+    sliding_window.c:27): no such tid, no evidence, best = -1."""
+    from svtrek_tpu.config import ScanConfig
+    from svtrek_tpu.pipeline.scan import run_scan
+
+    cfg = ScanConfig(bam_file=chrx_ins_bam, chrom=9, start=45_000,
+                     end=55_000, window_size=1000)
+    best, _ = run_scan(cfg, out=io.StringIO())
+    assert best == -1

@@ -142,3 +142,71 @@ def test_cli_disc(tmp_path, capsys):
                    "-o", str(tmp_path / "d.out")])
     assert rc == 0
     assert "DISC INS" in capsys.readouterr().out
+
+
+def test_cli_scan_chrom_by_name_requires_flag(audt_fixture, capsys):
+    d, bam, vcf = audt_fixture
+    rc = cli.main(["scan", "-b", bam, "-c", "chr1", "-s", "115000",
+                   "-e", "125000"])
+    assert rc == 1
+    assert "not numeric" in capsys.readouterr().err
+
+
+def test_cli_scan_chrom_by_name(audt_fixture, capsys):
+    d, bam, vcf = audt_fixture
+    rc = cli.main(["scan", "-b", bam, "-c", "chr1", "--chrom-by-name",
+                   "-s", "115000", "-e", "125000", "--window-size",
+                   "1000", "-o", os.path.join(d, "scan_name.out")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "(SCAN INS) best position:" in out
+    assert "best position: -1" not in out
+
+
+def _disc_inputs(tmp_path):
+    gfa = str(tmp_path / "g.gfa")
+    seqs = make_backbone_gfa(gfa, [1000, 1000, 1000],
+                             alt={(1, 2): (10, 120)})
+    gaf = str(tmp_path / "a.gaf")
+    fq = str(tmp_path / "r.fq")
+    reads, lines = {}, []
+    for i in range(4):
+        off = 300 + i * 17
+        pre = 1000 - off
+        name = f"ins{i}"
+        lines.append(gaf_line(name, pre + 120 + 400, 0, pre + 120 + 400,
+                              ">1>10>2", 2120, off, off + pre + 120 + 400,
+                              f"{pre}=120={400}="))
+        reads[name] = seqs[1][off:] + seqs[10] + seqs[2][:400]
+    with open(gaf, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    write_fastq(fq, reads)
+    return gfa, gaf, fq
+
+
+def test_cli_disc_resume_checkpoint(tmp_path, capsys):
+    """--resume checkpoints the detection phase; a rerun restores it
+    (and an input change invalidates the checkpoint)."""
+    gfa, gaf, fq = _disc_inputs(tmp_path)
+    out = str(tmp_path / "d.out")
+    args = ["disc", "-r", gfa, "-a", gaf, "-q", fq, "-o", out, "--resume"]
+    assert cli.main(args) == 0
+    first = capsys.readouterr().out
+    assert os.path.exists(out + ".ckpt.npz")
+    with open(out) as fh:
+        lines1 = fh.read()
+
+    assert cli.main(args) == 0
+    cap = capsys.readouterr()
+    assert "Resume:" in cap.err and "skipping GFA/GAF" in cap.err
+    with open(out) as fh:
+        assert fh.read() == lines1
+    assert [l for l in cap.out.splitlines() if l.startswith("(DISC")] == \
+        [l for l in first.splitlines() if l.startswith("(DISC")]
+
+    # Touching the GAF invalidates the checkpoint -> full reparse.
+    with open(gaf, "a") as fh:
+        fh.write("")
+    os.utime(gaf, (1, 1))
+    assert cli.main(args) == 0
+    assert "Resume:" not in capsys.readouterr().err

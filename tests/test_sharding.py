@@ -47,3 +47,34 @@ def test_graft_entry_dryrun():
     fn, args = g.entry()
     out = fn(*args)
     assert np.asarray(out[0]).shape == (64,)
+
+
+def test_sharded_csr_matches_dense():
+    """--extract device + data_shards > 1 routes through the
+    shard-blockwise CSR pack (pack._pack_native_sharded) and the
+    shard_map'd CSR step (mesh.sharded_audit_step_csr); records must
+    match the dense single-device CSR path byte for byte."""
+    import io
+
+    from svtrek_tpu.config import AudtConfig
+    from svtrek_tpu.native import native_bam_reader
+    from svtrek_tpu.pipeline.audit import run_audit
+    from tests.fixtures import PlantedSV, write_fixture
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        svs = [PlantedSV(1, 50_000, 50_400, "DEL", 400),
+               PlantedSV(1, 120_000, 120_001, "INS", 120),
+               PlantedSV(1, 200_000, 200_900, "INV", 900),
+               PlantedSV(1, 260_000, 260_300, "DEL", 300)]
+        bam, vcf = write_fixture(str(d), svs, {1: 300_000}, seed=3)
+        if native_bam_reader(bam) is None:
+            pytest.skip("native reader unavailable")
+        base = dict(bam_file=bam, vcf_file=vcf, extract="device",
+                    batch_windows=4)  # several batches + a ragged tail
+        dense = run_audit(AudtConfig(**base, data_shards=1),
+                          out=io.StringIO(), err=io.StringIO())
+        for n in (2, 8):
+            sharded = run_audit(AudtConfig(**base, data_shards=n),
+                                out=io.StringIO(), err=io.StringIO())
+            assert sharded == dense
