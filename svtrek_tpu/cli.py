@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
     audt.add_argument("--trace-dir", default="",
                       help="[TPU] write a jax.profiler trace of the "
                            "batch loop to this directory")
+    audt.add_argument("--refine-inv", action="store_true", default=False,
+                      help="[TPU] real INV refinement: soft-clip + D>50 "
+                           "evidence at both breakpoints through the "
+                           "consensus (the reference intends this but its "
+                           "refine_point collects nothing, so INV always "
+                           "prints NA; default off = exact parity)")
 
     scan = sub.add_parser(
         "scan",
@@ -161,6 +167,7 @@ def main(argv=None) -> int:
             shard_index=args.shard_index,
             resume=args.resume,
             trace_dir=args.trace_dir,
+            refine_inv=args.refine_inv,
         )
         validate_file(cfg.bam_file, "[ERROR] BAM file is not provided.")
         validate_file(cfg.vcf_file, "[ERROR] VCF file is not provided.")

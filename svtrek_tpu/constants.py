@@ -80,6 +80,12 @@ KIND_DEL_START = 0  # refine_start(SV_DEL, ...)   D>50 at op start + trailing S
 KIND_DEL_END = 1    # refine_end(SV_DEL, ...)     D>50 at op end+1 + leading S
 KIND_INS = 2        # refine_ins(...)             I>=50 at op start
 KIND_POINT = 3      # refine_point(SV_INV, ...)   collects nothing (quirk)
+KIND_INV_END = 4    # --refine-inv extension (no reference analog): D>50 at
+                    # op end+1 + leading S recording the ALIGNMENT START —
+                    # the clean rule, not refine_end's post-walk-position
+                    # quirk (refinement.c:210-221).  INV start windows reuse
+                    # KIND_DEL_START (trailing-clip alignment end + D>50
+                    # start), whose rules are already the right evidence.
 
 
 def u32(x: int) -> int:

@@ -807,7 +807,8 @@ int64_t svbam_total_ops(void *h)        { return (int64_t)((svbam_t *)h)->ops.le
 /* Scalar refinement baseline (reference semantics, fresh C)            */
 
 #define SV_MIN_LEN 50
-enum { K_DEL_START = 0, K_DEL_END = 1, K_INS = 2, K_POINT = 3 };
+enum { K_DEL_START = 0, K_DEL_END = 1, K_INS = 2, K_POINT = 3,
+       K_INV_END = 4 };
 
 static int cmp_i32(const void *a, const void *b) {
     int32_t x = *(const int32_t *)a, y = *(const int32_t *)b;
@@ -901,6 +902,18 @@ static void extract_read(int32_t kind, const uint8_t *o, const int32_t *l,
             if (o[k] != 1 && o[k] != 4) rp += (uint32_t)l[k];
             if (rp > iend) break;
         }
+    } else if (kind == K_INV_END) {
+        /* --refine-inv extension (no reference analog): D>50 op end+1
+         * like K_DEL_END, but a leading soft clip records the actual
+         * ALIGNMENT START, not refine_end's post-walk quirk. */
+        for (int k = 0; k < n; k++) {
+            if (o[k] == 2 && l[k] > SV_MIN_LEN)
+                *(int32_t *)vec_push(cands, 1) = (int32_t)(rp + (uint32_t)l[k] + 1u);
+            if (o[k] != 1 && o[k] != 4) rp += (uint32_t)l[k];
+            if (rp > iend) break;
+        }
+        if (o[0] == 4 && istart <= (uint32_t)rpos && (uint32_t)rpos <= iend)
+            *(int32_t *)vec_push(cands, 1) = (int32_t)(uint32_t)rpos;
     } /* K_POINT: collects nothing (refinement.c:250 quirk) */
 }
 

@@ -34,6 +34,7 @@ from ..constants import (
     KIND_DEL_END,
     KIND_DEL_START,
     KIND_INS,
+    KIND_INV_END,
     SV_MIN_LENGTH,
 )
 
@@ -82,10 +83,12 @@ def extract_read_candidates(
     kd = kind[:, None]
     op_cand_val = jnp.where(
         kd == KIND_DEL_START, ref_before,
-        jnp.where(kd == KIND_DEL_END, ref_after + 1, ref_before),
+        jnp.where((kd == KIND_DEL_END) | (kd == KIND_INV_END),
+                  ref_after + 1, ref_before),
     )
     op_cand_mask = jnp.where(
-        (kd == KIND_DEL_START) | (kd == KIND_DEL_END), d_mask,
+        (kd == KIND_DEL_START) | (kd == KIND_DEL_END) | (kd == KIND_INV_END),
+        d_mask,
         jnp.where(kd == KIND_INS, i_mask, False),
     )
     op_cand = jnp.where(op_cand_mask, op_cand_val, PAD)
@@ -116,13 +119,18 @@ def extract_read_candidates(
         has_ops & (first_op == CIGAR_S)
         & (inter_start <= pos) & (pos <= inter_end)
     )
+    # --refine-inv (KIND_INV_END): leading soft clip records the actual
+    # alignment start — breakpoint evidence, not refine_end's post-walk
+    # quirk (this kind is a framework extension; no reference analog).
     sc_val = jnp.where(
         kind == KIND_DEL_START, final_rp,
-        jnp.where(kind == KIND_DEL_END, stop_rp + 1, PAD),
+        jnp.where(kind == KIND_DEL_END, stop_rp + 1,
+                  jnp.where(kind == KIND_INV_END, pos, PAD)),
     )
     sc_ok = jnp.where(
         kind == KIND_DEL_START, sc_start_ok,
-        jnp.where(kind == KIND_DEL_END, sc_end_ok, False),
+        jnp.where((kind == KIND_DEL_END) | (kind == KIND_INV_END),
+                  sc_end_ok, False),
     )
     sc_col = jnp.where(sc_ok, sc_val, PAD)[:, None]
 

@@ -44,6 +44,7 @@ from ..constants import (
     KIND_DEL_END,
     KIND_DEL_START,
     KIND_INS,
+    KIND_INV_END,
     KIND_POINT,
     SV_MIN_LENGTH,
 )
@@ -239,6 +240,19 @@ def extract_candidates(
                     rp = C.u32(rp + ln)
                 if rp > inter_end:
                     break
+        elif kind == KIND_INV_END:
+            # --refine-inv extension (no reference analog): D>50 op end+1
+            # like refine_end, but a leading soft clip records the actual
+            # ALIGNMENT START — not refine_end's post-walk quirk.
+            for op, ln in cigar:
+                if op == CIGAR_D and ln > SV_MIN_LENGTH:
+                    out.append(C.i32(C.u32(rp + ln + 1)))
+                if op != CIGAR_I and op != CIGAR_S:
+                    rp = C.u32(rp + ln)
+                if rp > inter_end:
+                    break
+            if cigar[0][0] == CIGAR_S and inter_start <= C.u32(pos) <= inter_end:
+                out.append(C.i32(C.u32(pos)))
         elif kind == KIND_POINT:
             # refine_point collects D evidence only for SV_INS but is only
             # called with SV_INV → collects nothing (refinement.c:250).

@@ -33,7 +33,9 @@ from typing import Callable, Iterable, Sequence
 import numpy as np
 
 from .. import constants as C
-from ..constants import KIND_DEL_END, KIND_DEL_START, KIND_INS, KIND_POINT, SVType
+from ..constants import (
+    KIND_DEL_END, KIND_DEL_START, KIND_INS, KIND_INV_END, KIND_POINT, SVType,
+)
 from ..io.vcf import VcfTask
 from ..ops.audit_step import AuditBatch, AuditBatchCSR
 
@@ -266,15 +268,28 @@ def windows_for_task(task: VcfTask, cfg) -> tuple[list[WindowSpec], bool]:
     if t.sv_type == SVType.INV:
         if not (C.SV_MIN_LENGTH < u(t.end - t.pos)):
             return [], False
+        # --refine-inv (default off = reference parity): the reference
+        # INTENDS INV refinement but refine_point collects nothing
+        # (refinement.c:250; called with SV_INV at refinement.c:336-338),
+        # so both breakpoints always print NA.  With the flag, the start
+        # breakpoint runs the DEL-start rules (trailing-clip alignment
+        # end + D>50 start — the right evidence) and the end breakpoint
+        # the clean INV_END rules (leading-clip alignment start + D>50
+        # end), over the reference's own INV intervals (audit.c:221-231).
+        k_start, k_end = (
+            (KIND_DEL_START, KIND_INV_END)
+            if getattr(cfg, "refine_inv", False)
+            else (KIND_POINT, KIND_POINT)
+        )
         return (
             [
                 WindowSpec(
-                    KIND_POINT, t.chrom_index,
+                    k_start, t.chrom_index,
                     u(t.pos - cfg.wider_interval), u(t.pos + cfg.wider_interval),
                     t.pos, t.line_index, 0,
                 ),
                 WindowSpec(
-                    KIND_POINT, t.chrom_index,
+                    k_end, t.chrom_index,
                     u(t.end - cfg.wider_interval), u(t.end + cfg.wider_interval),
                     t.end, t.line_index, 1,
                 ),
