@@ -470,6 +470,63 @@ def bench_poa():
     }
 
 
+def bench_disc():
+    """disc-mode end-to-end reads/s on a >=100k-read synthetic pangenome
+    (GFA backbone + GAF alignments + FASTQ; tools/bench_disc.py), the
+    workload shape of the reference's projection loop (discover.c:46-246
+    — whose own detection is an empty stub, so no reference number
+    exists).  vs_baseline compares against the same pipeline with
+    detection forced to the host scalar scan (use_device_scan=False) —
+    the honest single-machine alternative."""
+    import io as _io
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from bench_disc import build_fixture
+
+    from svtrek_tpu.config import DiscConfig
+    from svtrek_tpu.pipeline.discover import run_discover
+
+    n_reads = 100_000
+    tmpdir = "/tmp/svtrek_bench_disc"
+    os.makedirs(tmpdir, exist_ok=True)
+    marker = os.path.join(tmpdir, f"done_{n_reads}")
+    if not os.path.exists(marker):
+        build_fixture(tmpdir, n_reads)
+        open(marker, "w").close()
+    paths = {k: os.path.join(tmpdir, f"bench.{e}")
+             for k, e in (("gfa_file", "gfa"), ("gaf_file", "gaf"),
+                          ("fq_file", "fq"))}
+
+    cfg = DiscConfig(**paths)
+    run_discover(cfg, out=_io.StringIO(), err=_io.StringIO())  # warm
+    best_dt = float("inf")
+    lines = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        lines = run_discover(cfg, out=_io.StringIO(), err=_io.StringIO())
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    rate = n_reads / best_dt
+
+    base_cfg = DiscConfig(**paths, use_device_scan=False)
+    t0 = time.perf_counter()
+    base_lines = run_discover(base_cfg, out=_io.StringIO(),
+                              err=_io.StringIO())
+    base_rate = n_reads / (time.perf_counter() - t0)
+    if base_lines != lines:
+        print("[bench] WARNING: device/host disc outputs differ",
+              file=sys.stderr)
+
+    return {
+        "metric": "disc_reads_per_sec",
+        "value": round(rate, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rate / base_rate, 3) if base_rate else 0.0,
+        "clusters": len(lines),
+        "wall_s": round(best_dt, 3),
+    }
+
+
 def bench_scaling():
     """Scaling efficiency (BASELINE.md metric 4) — what is honestly
     measurable without a multi-chip slice:
@@ -593,7 +650,8 @@ def main():
     # in extra (VERDICT r2: headline and story must agree).
     result = _run_isolated("bench_e2e")
     extra = []
-    for fn in ("bench_kernel", "bench_scan", "bench_poa", "bench_scaling"):
+    for fn in ("bench_kernel", "bench_scan", "bench_poa", "bench_disc",
+               "bench_scaling"):
         try:
             extra.append(_run_isolated(fn))
         except Exception as e:  # keep the headline alive on partial failure

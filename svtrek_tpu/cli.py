@@ -173,7 +173,9 @@ def main(argv=None) -> int:
         validate_file(cfg.vcf_file, "[ERROR] VCF file is not provided.")
         from .pipeline.audit import run_audit
 
-        run_audit(cfg)
+        # Lines stream to stdout/output file; don't also hold them all
+        # (whole-genome runs stay flat-memory).
+        run_audit(cfg, collect_lines=False)
         return 0
     if args.mode == "scan":
         from .config import ScanConfig

@@ -105,8 +105,13 @@ class DiscConfig:
     consensus_min_count: int = C.CONSENSUS_MIN_COUNT
     # TPU-native additions:
     sv_min_length: int = C.SV_MIN_LENGTH
-    batch_reads: int = 512
+    batch_reads: int = 8192         # reads per detection dispatch (big:
+                                    # dispatch+sync overhead dominates
+                                    # the tiny per-read scan otherwise)
     resume: bool = False            # checkpoint/restore the detection
                                     # phase (<output>.ckpt.npz)
     data_shards: int = 0            # mesh shards per detection batch
                                     # (0 = all local devices)
+    use_device_scan: bool = True    # False = host scalar detection
+                                    # (io.gaf.scan_breakpoints); the
+                                    # bench baseline + debugging path

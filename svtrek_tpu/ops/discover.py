@@ -59,3 +59,45 @@ def scan_projected_runs(
         ),
     ).astype(jnp.int32)
     return bp_type, ref_pos, read_pos
+
+
+@functools.partial(jax.jit, static_argnames=("min_len", "cap"))
+def scan_projected_runs_compact(
+    ops: jnp.ndarray,
+    lens: jnp.ndarray,
+    n_runs: jnp.ndarray,
+    ref_start: jnp.ndarray,
+    *,
+    min_len: int = 50,
+    cap: int = 2048,
+) -> tuple[jnp.ndarray, ...]:
+    """scan_projected_runs + on-device compaction: signals are sparse
+    (~1% of reads on long-read data), so shipping the dense [N, O]
+    matrices wastes ~99% of the device→host bytes on the tunneled chip.
+    Returns (total, row, bp_type, ref_pos, read_pos, length), each
+    selection array [cap], in row-major (read, run) order; entries
+    beyond `total` are invalid.  total > cap ⇒ the caller must rescan
+    the batch on the host (exactness is never silently lost)."""
+    bp_type, ref_pos, read_pos = scan_projected_runs(
+        ops, lens, n_runs, ref_start, min_len=min_len)
+    N, O = ops.shape
+    flat_t = bp_type.reshape(-1)
+    hit = flat_t > 0
+    total = jnp.sum(hit.astype(jnp.int32))
+    idx = jnp.where(hit, jnp.arange(N * O, dtype=jnp.int32), N * O)
+    # Smallest `cap` hit indices, ascending == row-major scan order.
+    cap_eff = min(cap, N * O)
+    sel = -jax.lax.top_k(-idx, cap_eff)[0]
+    if cap_eff < cap:
+        sel = jnp.concatenate(
+            [sel, jnp.full(cap - cap_eff, N * O, jnp.int32)])
+    valid = sel < N * O
+    sel_c = jnp.minimum(sel, N * O - 1)
+    return (
+        total,
+        jnp.where(valid, sel_c // O, -1),
+        jnp.where(valid, flat_t[sel_c], 0),
+        ref_pos.reshape(-1)[sel_c],
+        read_pos.reshape(-1)[sel_c],
+        lens.reshape(-1)[sel_c],
+    )

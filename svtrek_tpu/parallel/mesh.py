@@ -222,6 +222,37 @@ def sharded_consensus_step(mesh: Mesh, *, num_windows: int,
     return jax.jit(fn)
 
 
+def sharded_disc_step(mesh: Mesh, *, min_len: int = 50, cap: int = 512):
+    """Multi-chip disc detection: shard the read axis of the projected-
+    run scan (ops.discover.scan_projected_runs_compact) across the mesh
+    — reads are independent rows, so the split is the natural blockwise
+    one with no collectives (VERDICT r2 item 4: disc gets the same
+    shard_map treatment as audt's consensus step).
+
+    Returns fn(ops [N, O], lens, n_runs, ref_start) with N divisible by
+    the mesh size; padding rows use n_runs == 0 (no real runs, no
+    breakpoints).  Outputs are per-shard compact blocks: totals [S],
+    rows/types/refs/reads/lens [S * cap] with shard-LOCAL row indices
+    (caller adds s * (N/S)); a shard total > cap means the caller must
+    rescan on the host."""
+    from ..ops.discover import scan_projected_runs_compact
+
+    axis = mesh.axis_names[0]
+
+    def local(ops, lens, n_runs, ref_start):
+        total, row, t, ref, read, ln = scan_projected_runs_compact(
+            ops, lens, n_runs, ref_start, min_len=min_len, cap=cap)
+        return total[None], row, t, ref, read, ln
+
+    spec = P(axis)
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=(spec,) * 6,
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_demo_batch(num_devices: int, b_per_shard: int = 2,
                             reads_per_window: int = 4, O: int = 16,
                             seed: int = 0):

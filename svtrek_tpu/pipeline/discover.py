@@ -17,6 +17,7 @@ support >= consensus_min_count, sorted by (type, position).
 """
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 import sys
@@ -28,7 +29,9 @@ from ..config import DiscConfig
 from ..io.fastq import iter_fastq, reverse_complement
 from ..io.gaf import Breakpoint, iter_gaf
 from ..io.gfa import parse_gfa
-from ..ops.discover import BP_CLIP, BP_DEL, BP_INS, scan_projected_runs
+from ..ops.discover import (
+    BP_CLIP, BP_DEL, BP_INS, scan_projected_runs_compact,
+)
 
 _TYPE_NAME = {BP_INS: "INS", BP_DEL: "DEL", BP_CLIP: "CLIP"}
 _RUN_BUCKETS = (32, 128, 512, 2048, 8192)
@@ -60,49 +63,128 @@ def _bucket(n: int) -> int:
     return _RUN_BUCKETS[-1]
 
 
-def detect_breakpoints(projected, min_len: int, batch_reads: int = 512):
+_BP_CAP = 2048  # compact-kernel capacity (overflow → exact host rescan)
+
+
+@functools.lru_cache(maxsize=None)
+def _get_sharded_disc(n_dev: int, min_len: int):
+    import jax
+
+    from ..parallel.mesh import make_mesh, sharded_disc_step
+
+    mesh = make_mesh(jax.devices()[:n_dev])
+    return sharded_disc_step(mesh, min_len=min_len,
+                             cap=max(256, _BP_CAP // n_dev))
+
+
+def detect_breakpoints(projected, min_len: int, batch_reads: int = 512,
+                       n_shards: int = 1, device: bool = True):
     """Batched device scan over projected reads → Breakpoint list.
 
     Reads whose run count exceeds the largest bucket fall back to the
-    host scalar scan (identical semantics)."""
+    host scalar scan (identical semantics).  With ``n_shards > 1`` the
+    read axis is shard_map'd across the mesh (reads are independent, so
+    the split is collective-free — mesh.sharded_disc_step).
+    ``device=False`` runs everything through the host scalar scan (the
+    bench baseline; must agree exactly with the device kernel)."""
+    import jax
+
+    from collections import deque
+
     from ..io.gaf import scan_breakpoints
+
+    if not device:
+        out: list[Breakpoint] = []
+        for p in projected:
+            out.extend(scan_breakpoints(p, min_len))
+        return out
 
     out: list[Breakpoint] = []
     batch: list = []
+    step = (_get_sharded_disc(n_shards, min_len) if n_shards > 1 else None)
+    # Async-dispatch pipeline (same shape as audt's in-flight window):
+    # the device scans batch k while the host parses/projects k+1..k+d;
+    # each collect's host↔device sync round-trip hides behind later
+    # batches' parse instead of serializing (the per-call sync was 70%
+    # of disc wall time on the tunneled chip before this).
+    in_flight: deque = deque()
+    DEPTH = 3
+
+    def emit_block(reads, row_off, rows, types, refs, reads_pos, lns, n):
+        for i in range(n):
+            p = reads[row_off + int(rows[i])]
+            out.append(Breakpoint(
+                p.read_name, _TYPE_NAME[int(types[i])],
+                int(refs[i]), int(reads_pos[i]), int(lns[i]), p.rc,
+            ))
+
+    def collect(item):
+        reads, n_loc, dev = item
+        res = [np.asarray(x) for x in jax.device_get(dev)]
+        if step is not None:
+            totals, rows, types, refs, rpos, lns = res
+            S = totals.shape[0]
+            cap = rows.shape[0] // S
+            if (totals > cap).any():
+                # Rare overflow: exact host rescan of the whole batch.
+                for p in reads:
+                    out.extend(scan_breakpoints(p, min_len))
+                return
+            for s in range(S):
+                n = int(totals[s])
+                sl = slice(s * cap, s * cap + n)
+                emit_block(reads, s * n_loc, rows[sl], types[sl],
+                           refs[sl], rpos[sl], lns[sl], n)
+        else:
+            total, rows, types, refs, rpos, lns = res
+            total = int(total)
+            if total > rows.shape[0]:
+                for p in reads:
+                    out.extend(scan_breakpoints(p, min_len))
+                return
+            emit_block(reads, 0, rows, types, refs, rpos, lns, total)
 
     def flush():
         nonlocal batch
         if not batch:
             return
         O = _bucket(max(len(p.runs) for p in batch))
-        N = len(batch)
+        # Stable read axis (one compiled variant per O bucket): pad the
+        # tail batch up to the full batch size, and to the shard count.
+        N = max(len(batch), batch_reads)
+        if N % max(n_shards, 1):
+            N += n_shards - N % n_shards
         ops = np.full((N, O), 9, np.int8)
         lens = np.zeros((N, O), np.int32)
-        n_runs = np.zeros(N, np.int32)
+        n_runs = np.zeros(N, np.int32)   # padding rows: 0 runs, no signal
         ref_start = np.zeros(N, np.int32)
-        for i, p in enumerate(batch):
-            k = len(p.runs)
-            if k:
-                arr = np.asarray(p.runs, np.int64)
-                ops[i, :k] = arr[:, 0].astype(np.int8)
-                lens[i, :k] = arr[:, 1].astype(np.int32)
-            n_runs[i] = k
-            ref_start[i] = p.reference_start
-        bp_type, ref_pos, read_pos = scan_projected_runs(
-            ops, lens, n_runs, ref_start, min_len=min_len
-        )
-        bp_type = np.asarray(bp_type)
-        ref_pos = np.asarray(ref_pos)
-        read_pos = np.asarray(read_pos)
-        rows, cols = np.nonzero(bp_type)
-        for r, c in zip(rows.tolist(), cols.tolist()):
-            p = batch[r]
-            out.append(Breakpoint(
-                p.read_name, _TYPE_NAME[int(bp_type[r, c])],
-                int(ref_pos[r, c]), int(read_pos[r, c]),
-                int(lens[r, c]), p.rc,
-            ))
+        # One flat scatter for the whole batch (per-read np.asarray
+        # loops cost more than the device step at 100k+ reads).
+        n_runs[: len(batch)] = np.fromiter(
+            (len(p.runs) for p in batch), np.int32, len(batch))
+        ref_start[: len(batch)] = np.fromiter(
+            (p.reference_start for p in batch), np.int64, len(batch)
+        ).astype(np.int32)
+        flat = np.array([rl for p in batch for rl in p.runs], np.int32)
+        if flat.size:
+            cnt = n_runs[: len(batch)]
+            rows = np.repeat(np.arange(len(batch), dtype=np.int64), cnt)
+            starts = np.cumsum(cnt, dtype=np.int64) - cnt
+            cols = np.arange(len(flat), dtype=np.int64) - np.repeat(
+                starts, cnt)
+            ops[rows, cols] = flat[:, 0].astype(np.int8)
+            lens[rows, cols] = flat[:, 1]
+        if step is not None:
+            dev = step(ops, lens, n_runs, ref_start)
+        else:
+            dev = scan_projected_runs_compact(
+                ops, lens, n_runs, ref_start, min_len=min_len,
+                cap=_BP_CAP,
+            )
+        in_flight.append((batch, N // max(n_shards, 1), dev))
         batch = []
+        if len(in_flight) > DEPTH:
+            collect(in_flight.popleft())
 
     for p in projected:
         if len(p.runs) > _RUN_BUCKETS[-1]:
@@ -112,6 +194,8 @@ def detect_breakpoints(projected, min_len: int, batch_reads: int = 512):
         if len(batch) >= batch_reads:
             flush()
     flush()
+    while in_flight:
+        collect(in_flight.popleft())
     return out
 
 
@@ -245,11 +329,16 @@ def run_discover(cfg: DiscConfig, out=None, err=None) -> list[str]:
         print(f"[INFO] Resume: {len(bps)} breakpoint(s) restored from "
               f"{_ckpt_path(cfg)}; skipping GFA/GAF projection.", file=err)
     else:
+        from .audit import resolve_data_shards
+
+        n_shards = resolve_data_shards(cfg)
         gfa = parse_gfa(cfg.gfa_file)
         errors: list[str] = []
         projected = iter_gaf(cfg.gaf_file, gfa, errors)
         bps = detect_breakpoints(projected, cfg.sv_min_length,
-                                 cfg.batch_reads)
+                                 cfg.batch_reads, n_shards=n_shards,
+                                 device=getattr(cfg, "use_device_scan",
+                                                True))
         for name in errors:
             print(f"[ERROR] Read {name} has an invalid path.", file=err)
         if getattr(cfg, "resume", False):

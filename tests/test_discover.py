@@ -9,8 +9,8 @@ from fixtures_disc import gaf_line, make_backbone_gfa, write_fastq
 from svtrek_tpu.config import DiscConfig
 from svtrek_tpu.constants import CIGAR_D, CIGAR_I, CIGAR_M, CIGAR_S, CIGAR_EQ
 from svtrek_tpu.io.gaf import (
-    Breakpoint, iter_gaf, parse_gaf_line, project_alignment, parse_nodes,
-    scan_breakpoints,
+    Breakpoint, ProjectedRead, iter_gaf, parse_gaf_line, project_alignment,
+    parse_nodes, scan_breakpoints,
 )
 from svtrek_tpu.io.gfa import parse_gfa, GfaError
 from svtrek_tpu.ops.discover import scan_projected_runs, BP_INS, BP_DEL, BP_CLIP
@@ -198,3 +198,33 @@ def test_discover_end_to_end(tmp_path):
     assert "ref pos: 1000, len: 120, support: 4" in ins
     assert f"seq: {alt_seq}" in ins          # consensus == alt segment seq
     assert "ref pos: 1000, len: 1000, support: 3" in dl
+
+
+def test_disc_sharded_matches_dense(tmp_path):
+    """detect_breakpoints over the 8-device mesh (sharded_disc_step)
+    must equal the dense single-device scan exactly (VERDICT r2 item 4:
+    disc multi-device parity)."""
+    import random
+
+    from svtrek_tpu.io.gaf import scan_breakpoints
+    from svtrek_tpu.pipeline.discover import detect_breakpoints
+
+    rng = random.Random(4)
+    projected = []
+    for i in range(73):  # ragged tail vs batch_reads on purpose
+        runs = []
+        for _ in range(rng.randint(1, 20)):
+            runs.append((rng.choice([0, 1, 2, 4, 7, 8]),
+                         rng.randint(1, 120)))
+        projected.append(ProjectedRead(
+            read_name=f"r{i}", read_len=2000, read_start=0, read_end=2000,
+            rc=bool(i % 3 == 0), reference_start=rng.randint(0, 10_000),
+            runs=runs,
+        ))
+    dense = detect_breakpoints(iter(projected), 50, batch_reads=32,
+                               n_shards=1)
+    sharded = detect_breakpoints(iter(projected), 50, batch_reads=32,
+                                 n_shards=8)
+    assert [b.__dict__ for b in sharded] == [b.__dict__ for b in dense]
+    scalar = [b for p in projected for b in scan_breakpoints(p, 50)]
+    assert [b.__dict__ for b in dense] == [b.__dict__ for b in scalar]

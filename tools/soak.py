@@ -35,9 +35,16 @@ from svtrek_tpu.pipeline.audit import run_audit  # noqa: E402
 N_CHROM = 4
 
 
+def n_chroms(n_records: int) -> int:
+    """Enough chromosomes that each stays under the BAM int32 length
+    cap (25 kb spacing × per-chrom records + slack < 1.5e9)."""
+    return max(N_CHROM, (n_records * 25_000) // 1_500_000_000 + 1)
+
+
 def build_fixture(tmpdir: str, n_records: int, depth: int = 8,
                   seed: int = 0):
     rng = np.random.default_rng(seed)
+    N_CHROM = n_chroms(n_records)
     per_chrom = n_records // N_CHROM
     chrom_len = per_chrom * 25_000 + 200_000
     bam = os.path.join(tmpdir, "soak.bam")
@@ -122,20 +129,51 @@ def main():
     ap.add_argument("--records", type=int, default=100_000)
     ap.add_argument("--shards", type=int, default=4)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--rss-only", action="store_true",
+                    help="one streaming unsharded pass (collect_lines="
+                         "False, lines to /dev/null); report peak RSS + "
+                         "records/s.  Run at 100k and 1M: near-equal "
+                         "peaks demonstrate the VERDICT r3 item-5 "
+                         "flat-memory claim.  Use --dir to separate "
+                         "fixtures so each scale builds once.")
+    ap.add_argument("--dir", default="/tmp/svtrek_soak")
     args = ap.parse_args()
 
-    tmpdir = "/tmp/svtrek_soak"
+    tmpdir = args.dir
     os.makedirs(tmpdir, exist_ok=True)
     marker = os.path.join(tmpdir, f"done_{args.records}")
     bam = os.path.join(tmpdir, "soak.bam")
     vcf = os.path.join(tmpdir, "soak.vcf")
     if args.keep and os.path.exists(marker):
-        fixture_s, n_sv = 0.0, args.records // N_CHROM * N_CHROM
+        nc = n_chroms(args.records)
+        fixture_s, n_sv = 0.0, args.records // nc * nc
     else:
         bam, vcf, fixture_s, n_sv = build_fixture(tmpdir, args.records)
         open(marker, "w").close()
     print(f"[soak] fixture: {n_sv} records, {fixture_s:.1f}s",
           file=sys.stderr)
+
+    if args.rss_only:
+        # Peak RSS so far = fixture build + imports; report it apart so
+        # the pipeline's own ceiling is visible.
+        rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        cfg = AudtConfig(bam_file=bam, vcf_file=vcf)
+        with open(os.devnull, "w") as devnull:
+            t0 = time.perf_counter()
+            run_audit(cfg, out=devnull, err=sys.stderr,
+                      collect_lines=False)
+            full_s = time.perf_counter() - t0
+        peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        print(json.dumps({
+            "records": n_sv,
+            "unsharded_s": round(full_s, 2),
+            "unsharded_records_per_sec": round(n_sv / full_s, 1),
+            "peak_rss_mb": round(peak, 1),
+            "rss_before_run_mb": round(rss_before, 1),
+            "jit_variants": jit_cache_sizes(),
+            "fixture_s": round(fixture_s, 1),
+        }))
+        return
 
     # 1. Unsharded reference run (one warm-up first so the timed run
     #    measures the pipeline, not a cold XLA compile).
