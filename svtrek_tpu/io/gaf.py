@@ -86,16 +86,14 @@ class Breakpoint:
     rc: bool
 
 
+_CIG_RE = re.compile(r"(\d+)([MIDNSHP=X])")
+
+
 def parse_cigar_runs(cigar: str, reverse: bool = False) -> list[tuple[int, int]]:
     """cg:Z CIGAR string → (op, len) runs (utils.c:45-70, run-length)."""
-    runs = []
-    num = 0
-    for ch in cigar:
-        if "0" <= ch <= "9":
-            num = num * 10 + ord(ch) - 48
-        else:
-            runs.append((CIGAR_CODE[ch], num))
-            num = 0
+    code = CIGAR_CODE
+    runs = [(code[m.group(2)], int(m.group(1)))
+            for m in _CIG_RE.finditer(cigar)]
     if reverse:
         runs.reverse()
     return runs
@@ -167,6 +165,26 @@ def project_alignment(aln: GafAlignment, nodes: list[int], gfa: Gfa) -> Projecte
             runs[-1] = (op, runs[-1][1] + ln)
         else:
             runs.append((op, ln))
+
+    # Fast path — single rank-0 node whose remaining length covers the
+    # whole alignment (the overwhelmingly common case: most long-read
+    # graph alignments stay on one backbone segment).  Semantically
+    # identical to the general loop below: every op lands on the one
+    # segment, no deletion-gap or alt-segment rewriting can occur.
+    seg0 = gfa.seg(nodes[0])
+    if len(nodes) == 1 and seg0.rank == 0:
+        ref_need = sum(l for op, l in cigar if op in _REF_OPS)
+        if ref_need <= len(seg0.seq) - path_start:
+            emit(CIGAR_S, read_start)
+            for op, ln in cigar:
+                emit(op, ln)
+            emit(CIGAR_S, aln.read_len - read_end)
+            return ProjectedRead(
+                read_name=aln.read_name, read_len=aln.read_len,
+                read_start=read_start, read_end=read_end, rc=rc,
+                reference_start=seg0.start + path_start,
+                runs=runs,
+            )
 
     emit(CIGAR_S, read_start)   # prefix clip (discover.c:135)
 

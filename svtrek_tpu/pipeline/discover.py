@@ -165,15 +165,19 @@ def detect_breakpoints(projected, min_len: int, batch_reads: int = 512,
         ref_start[: len(batch)] = np.fromiter(
             (p.reference_start for p in batch), np.int64, len(batch)
         ).astype(np.int32)
-        flat = np.array([rl for p in batch for rl in p.runs], np.int32)
-        if flat.size:
-            cnt = n_runs[: len(batch)]
+        cnt = n_runs[: len(batch)]
+        total = int(cnt.sum(dtype=np.int64))
+        if total:
+            # fromiter beats np.array(list-of-tuples) ~5x at this volume
+            flat_ops = np.fromiter(
+                (o for p in batch for o, _ in p.runs), np.int8, total)
+            flat_lens = np.fromiter(
+                (l for p in batch for _, l in p.runs), np.int32, total)
             rows = np.repeat(np.arange(len(batch), dtype=np.int64), cnt)
             starts = np.cumsum(cnt, dtype=np.int64) - cnt
-            cols = np.arange(len(flat), dtype=np.int64) - np.repeat(
-                starts, cnt)
-            ops[rows, cols] = flat[:, 0].astype(np.int8)
-            lens[rows, cols] = flat[:, 1]
+            cols = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
+            ops[rows, cols] = flat_ops
+            lens[rows, cols] = flat_lens
         if step is not None:
             dev = step(ops, lens, n_runs, ref_start)
         else:

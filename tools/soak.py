@@ -36,9 +36,10 @@ N_CHROM = 4
 
 
 def n_chroms(n_records: int) -> int:
-    """Enough chromosomes that each stays under the BAM int32 length
-    cap (25 kb spacing × per-chrom records + slack < 1.5e9)."""
-    return max(N_CHROM, (n_records * 25_000) // 1_500_000_000 + 1)
+    """Enough chromosomes that each stays under the BAI binning cap
+    (2^29 = 512 Mb; 25 kb spacing × per-chrom records + slack).  Real
+    chromosomes respect the same bound (chr1 is 249 Mb)."""
+    return max(N_CHROM, (n_records * 25_000) // 500_000_000 + 1)
 
 
 def build_fixture(tmpdir: str, n_records: int, depth: int = 8,
