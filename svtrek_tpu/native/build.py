@@ -17,7 +17,7 @@ def build(force: bool = False) -> str | None:
     ):
         return OUT
     cmd = [
-        "cc", "-O3", "-march=native", "-shared", "-fPIC",
+        "cc", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
         "-o", OUT, SRC, "-lz",
     ]
     # libdeflate decodes BGZF blocks ~2.7x faster than zlib (measured on
