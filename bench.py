@@ -475,9 +475,11 @@ def bench_disc():
     (GFA backbone + GAF alignments + FASTQ; tools/bench_disc.py), the
     workload shape of the reference's projection loop (discover.c:46-246
     — whose own detection is an empty stub, so no reference number
-    exists).  vs_baseline compares against the same pipeline with
-    detection forced to the host scalar scan (use_device_scan=False) —
-    the honest single-machine alternative."""
+    exists).  Measured path: C GAF tokenizer+projector (io/gaf_native)
+    feeding the batched device scan.  vs_baseline compares against the
+    all-host pipeline (use_device_scan=False: Python parse/projection +
+    scalar per-read scan) — the honest single-machine alternative, and
+    identical output (the run asserts line equality)."""
     import io as _io
 
     sys.path.insert(0, os.path.join(os.path.dirname(
@@ -524,6 +526,104 @@ def bench_disc():
         "vs_baseline": round(rate / base_rate, 3) if base_rate else 0.0,
         "clusters": len(lines),
         "wall_s": round(best_dt, 3),
+    }
+
+
+def bench_ins_consensus():
+    """audt-mode POA consensus path (--ins-consensus, BASELINE.json
+    configs[2]): INS sites/s through native SEQ extraction + the batched
+    banded-POA consensus, vs the scalar per-site path (pure-Python BAM
+    SEQ decode + ops/poa.py consensus_sequence), extrapolated from a
+    32-site slice."""
+    import random
+
+    from svtrek_tpu.config import AudtConfig
+    from svtrek_tpu.constants import CIGAR_I, CIGAR_M
+    from svtrek_tpu.io.bam import BamRecord, BamWriter
+    from svtrek_tpu.io.vcf import VcfTask
+    from svtrek_tpu.pipeline.audit import (
+        AuditResult, AuditStats, _ins_seqs_py, _resolve_ins_consensus,
+    )
+
+    N_SITES = 256
+    DEPTH = 10
+    rng = random.Random(0)
+    tmpdir = "/tmp/svtrek_bench_inscons"
+    os.makedirs(tmpdir, exist_ok=True)
+    bam = os.path.join(tmpdir, "cons.bam")
+    sites = [20_000 + 40_000 * i for i in range(N_SITES)]
+    inserts = ["".join(rng.choice("ACGT") for _ in range(rng.randint(60, 120)))
+               for _ in range(N_SITES)]
+    if not os.path.exists(bam + ".done"):
+        reads = []
+        for s0, ins in zip(sites, inserts):
+            for d in range(DEPTH):
+                start0 = s0 - rng.randint(2_000, 6_000)
+                lead = s0 - start0
+                tail = rng.randint(1_000, 3_000)
+                seq = ("".join(rng.choice("ACGT") for _ in range(lead))
+                       + ins
+                       + "".join(rng.choice("ACGT") for _ in range(tail)))
+                reads.append((start0,
+                              [(CIGAR_M, lead), (CIGAR_I, len(ins)),
+                               (CIGAR_M, tail)], seq, f"r{s0}_{d}"))
+        with BamWriter(bam, [("1", sites[-1] + 100_000)]) as w:
+            for start0, cigar, seq, name in sorted(reads):
+                w.write(BamRecord(name=name, flag=0, tid=0, pos=start0,
+                                  mapq=60, cigar=cigar, seq=seq))
+        open(bam + ".done", "w").close()
+
+    cfg = AudtConfig(bam_file=bam, ins_consensus=True)
+
+    def make_records():
+        recs = []
+        for i, s0 in enumerate(sites):
+            from svtrek_tpu.constants import SVType
+
+            t = VcfTask(line_index=i, chrom_index=1, pos=s0 + 1, end=s0 + 1,
+                        sv_type=SVType.INS)
+            r = AuditResult(t, rstart=s0, needs_seq=True, cons_tid=0)
+            recs.append(r)
+        return recs
+
+    from svtrek_tpu.native.bamlib import NativeBamReader
+
+    reader = NativeBamReader(bam)
+    _resolve_ins_consensus(make_records(), reader, cfg)  # warm/compile
+    best_dt = float("inf")
+    for _ in range(3):
+        recs = make_records()
+        t0 = time.perf_counter()
+        _resolve_ins_consensus(recs, reader, cfg, AuditStats())
+        best_dt = min(best_dt, time.perf_counter() - t0)
+        ok = sum(r.seq == ins for r, ins in zip(recs, inserts))
+    rate = N_SITES / best_dt
+
+    # Scalar baseline: Python SEQ decode + per-site scalar star-MSA
+    # consensus, 32-site slice extrapolated.
+    from svtrek_tpu.io.bam import BamReader
+    from svtrek_tpu.ops.poa import consensus_sequence
+
+    pyreader = BamReader(bam)
+    n_sl = 32
+    best_sc = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for s0 in sites[:n_sl]:
+            seqs = _ins_seqs_py(pyreader, 0, s0 - 6, s0 + 6, 50,
+                                s0 - 5, s0 + 5)
+            consensus_sequence(seqs)
+        best_sc = min(best_sc, time.perf_counter() - t0)
+    s_rate = n_sl / best_sc
+
+    return {
+        "metric": "ins_consensus_sites_per_sec",
+        "value": round(rate, 1),
+        "unit": "sites/s",
+        "vs_baseline": round(rate / s_rate, 3) if s_rate else 0.0,
+        "sites": N_SITES,
+        "exact_consensus_fraction": round(ok / N_SITES, 4),
+        "baseline_scalar_sites_per_sec": round(s_rate, 1),
     }
 
 
@@ -651,7 +751,7 @@ def main():
     result = _run_isolated("bench_e2e")
     extra = []
     for fn in ("bench_kernel", "bench_scan", "bench_poa", "bench_disc",
-               "bench_scaling"):
+               "bench_ins_consensus", "bench_scaling"):
         try:
             extra.append(_run_isolated(fn))
         except Exception as e:  # keep the headline alive on partial failure

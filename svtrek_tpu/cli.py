@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
     audt.add_argument("--trace-dir", default="",
                       help="[TPU] write a jax.profiler trace of the "
                            "batch loop to this directory")
+    audt.add_argument("--ins-consensus", action="store_true", default=False,
+                      help="[TPU] emit a POA consensus of the inserted "
+                           "sequence on refined INS lines (', seq: ...'):"
+                           " the audt-mode partial-order-alignment path "
+                           "the reference's unused abPOA submodule "
+                           "intends; default off = exact output parity")
     audt.add_argument("--refine-inv", action="store_true", default=False,
                       help="[TPU] real INV refinement: soft-clip + D>50 "
                            "evidence at both breakpoints through the "
@@ -118,10 +124,14 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(disc)
     disc.add_argument("--sv-min-length", type=int, default=C.SV_MIN_LENGTH,
                       help="[TPU] minimum SV length for discovery")
+    disc.add_argument("--cluster-window", type=int, default=100,
+                      help="[TPU] max gap (bp) between consecutive sorted "
+                           "signals chained into one cluster")
     disc.add_argument("--resume", action="store_true", default=False,
-                      help="[TPU] checkpoint the detection phase to "
-                           "<output>.ckpt.npz and restore it on rerun "
-                           "(invalidated when the GFA/GAF inputs change)")
+                      help="[TPU] restore the detection phase from "
+                           "<output>.ckpt.npz (written on every run with "
+                           "an output file; invalidated when the GFA/GAF "
+                           "inputs change)")
     disc.add_argument("--data-shards", type=int, default=0,
                       help="[TPU] mesh shards per detection batch "
                            "(0 = all local devices)")
@@ -168,6 +178,7 @@ def main(argv=None) -> int:
             resume=args.resume,
             trace_dir=args.trace_dir,
             refine_inv=args.refine_inv,
+            ins_consensus=args.ins_consensus,
         )
         validate_file(cfg.bam_file, "[ERROR] BAM file is not provided.")
         validate_file(cfg.vcf_file, "[ERROR] VCF file is not provided.")
@@ -216,6 +227,7 @@ def main(argv=None) -> int:
             consensus_interval=args.consensus_interval,
             consensus_min_count=args.consensus_min_count,
             sv_min_length=args.sv_min_length,
+            cluster_window=args.cluster_window,
             resume=args.resume,
             data_shards=args.data_shards,
         )

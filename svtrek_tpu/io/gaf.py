@@ -263,7 +263,13 @@ def scan_breakpoints(pr: ProjectedRead, min_len: int = 50) -> list[Breakpoint]:
 
 def iter_gaf(path: str, gfa: Gfa, errors: list[str] | None = None):
     """Stream accepted alignments as ProjectedReads (dedupe: first
-    alignment per read wins, discover.c:97-102)."""
+    alignment per read wins, discover.c:97-102).
+
+    Memory note: the dedupe set necessarily grows O(unique read names)
+    — the reference's khashl map has the same bound (discover.c:97-102).
+    At ~60 B/name that is ~60 MB per million reads here (~24 B/name in
+    the C fast path's offset+hash set, io/gaf_native.py); the 1M-read
+    soak (tools/soak.py) measures the end-to-end RSS envelope."""
     seen: set[str] = set()
     with open(path) as fh:
         for line in fh:

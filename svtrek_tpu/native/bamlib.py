@@ -81,6 +81,15 @@ def load_library():
         ct.POINTER(ct.c_int32), ct.c_int64, ct.c_int64,
         ct.c_int32, ct.c_int32, ct.c_int32,
     ]
+    lib.svbam_ins_seqs.restype = ct.c_int64
+    lib.svbam_ins_seqs.argtypes = [
+        ct.c_void_p, ct.c_int32, ct.c_int64, ct.c_int64,
+        ct.c_int32, ct.c_int64, ct.c_int64,
+    ]
+    lib.svbam_ins_buf.restype = ct.POINTER(ct.c_char)
+    lib.svbam_ins_buf.argtypes = [ct.c_void_p]
+    lib.svbam_ins_off.restype = ct.POINTER(ct.c_int64)
+    lib.svbam_ins_off.argtypes = [ct.c_void_p]
     _LIB = lib
     return lib
 
@@ -153,6 +162,24 @@ class NativeBamReader:
         ops = np.ctypeslib.as_array(self._lib.svbam_ops(self._h), (total,)).copy()
         lens = np.ctypeslib.as_array(self._lib.svbam_oplens(self._h), (total,)).copy()
         return pos, nops, opoff, ops, lens
+
+    def ins_seqs(self, tid: int, beg: int, end: int, min_len: int,
+                 lo: int, hi: int) -> list[str]:
+        """Inserted-base strings: for every read overlapping
+        [beg, end) with an I op >= min_len whose refine_ins-convention
+        reference position lies in [lo, hi], the decoded SEQ substring
+        of that op (the payload the prefix-parse fetch path skips).
+        One string per qualifying I op, file order."""
+        n = self._lib.svbam_ins_seqs(self._h, tid, beg, end,
+                                     min_len, lo, hi)
+        if n < 0:
+            self._raise_error()
+        if n == 0:
+            return []
+        off = np.ctypeslib.as_array(self._lib.svbam_ins_off(self._h),
+                                    (n + 1,))
+        buf = ct.string_at(self._lib.svbam_ins_buf(self._h), int(off[n]))
+        return [buf[off[i]:off[i + 1]].decode() for i in range(n)]
 
     def fetch_batch(self, tids, begs, ends):
         """Fetch many regions with ONE library call (GIL released for

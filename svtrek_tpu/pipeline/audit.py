@@ -55,14 +55,21 @@ class AuditResult:
     emit: bool = True
     chrom_label: object = None  # --chrom-by-name: print the CHROM name
     remaining: int = 0          # windows not yet applied (streaming emit)
+    # --ins-consensus: POA consensus of the inserted sequence
+    needs_seq: bool = False
+    cons_tid: int = -1
+    seq: str | None = None      # None = unresolved; "" = no consensus
 
     def line(self) -> str:
         chrom = (self.chrom_label if self.chrom_label is not None
                  else self.task.chrom_index)
-        return format_result(
+        text = format_result(
             self.task.sv_type, chrom, self.task.pos,
             self.task.end, self.rstart, self.rend,
         )
+        if self.needs_seq:
+            text += f", seq: {self.seq if self.seq else 'NA'}"
+        return text
 
 
 @dataclass
@@ -74,6 +81,8 @@ class AuditStats:
     pack_s: float = 0.0      # producer pool: BAM fetch + packing (aggregate worker-seconds)
     device_s: float = 0.0    # blocked on device results
     emit_s: float = 0.0
+    cons_s: float = 0.0      # --ins-consensus: seq fetch + POA batches
+    cons_sites: int = 0      # INS sites given a consensus sequence
     total_s: float = 0.0
     records: int = 0
     windows: int = 0
@@ -102,6 +111,12 @@ class AuditStats:
             f"emit={self.emit_s:.3f}s total={self.total_s:.3f}s",
             file=err,
         )
+        if self.cons_sites:
+            print(
+                f"[VERBOSE] ins_consensus sites={self.cons_sites} "
+                f"time={self.cons_s:.3f}s",
+                file=err,
+            )
 
 
 def _next_pow2(n: int, lo: int = 16) -> int:
@@ -367,6 +382,67 @@ def _check_resume_identity(task: VcfTask, got_line: str, which: str,
         raise SystemExit(1)
 
 
+def _ins_seqs_py(reader, tid, beg, end, min_len, lo, hi) -> list[str]:
+    """Pure-Python analog of the native reader's svbam_ins_seqs: decoded
+    SEQ substrings of I ops >= min_len whose refine_ins-convention
+    reference position (rp advances for every op that is not I and not
+    S, the refinement.c:137-139 quirk) lies in [lo, hi]."""
+    out: list[str] = []
+    for rec in reader.fetch(tid, beg, end):
+        if rec.seq == "*":
+            continue
+        rp = rec.pos
+        qpos = 0
+        for op, ln in rec.cigar:
+            if op == 1 and ln >= min_len and lo <= rp <= hi:
+                out.append(rec.seq[qpos:qpos + ln])
+            if op not in (1, 4):
+                rp += ln
+            if op in (0, 1, 4, 7, 8):
+                qpos += ln
+    return out
+
+
+def _resolve_ins_consensus(records: list[AuditResult], reader, cfg,
+                           stats: AuditStats | None = None) -> None:
+    """Attach a POA consensus of the inserted sequence to each refined
+    INS record (--ins-consensus: the audt-mode partial-order-alignment
+    path, BASELINE.json configs[2] — the capability slot of the
+    reference's built-but-unused abPOA submodule, .gitmodules:5-7, and
+    the refine_ins evidence walk it extends, refinement.c:278-325).
+
+    Per record: reads overlapping the refined position whose >=50 bp I
+    op lands within consensus_interval of it contribute their inserted
+    bases (SEQ decode, skipped by the prefix-parse fetch); one batched
+    POA call covers all records.  res.seq = "" when no consensus (too
+    few/no supporting inserts) — printed as NA."""
+    from ..ops.poa_batch import consensus_sequence_batch
+
+    t0 = time.perf_counter()
+    interval = cfg.consensus_interval
+    min_len = C.SV_MIN_LENGTH
+    seq_lists: list[list[str]] = []
+    for res in records:
+        r = int(C.u32(res.rstart))
+        lo, hi = r - interval, r + interval
+        if res.cons_tid < 0:
+            seq_lists.append([])
+            continue
+        if hasattr(reader, "ins_seqs"):
+            seqs = reader.ins_seqs(res.cons_tid, max(lo, 0), hi + 1,
+                                   min_len, lo, hi)
+        else:
+            seqs = _ins_seqs_py(reader, res.cons_tid, max(lo, 0), hi + 1,
+                                min_len, lo, hi)
+        seq_lists.append(seqs)
+    for res, s in zip(records, consensus_sequence_batch(seq_lists)):
+        res.seq = s or ""
+        if s and stats:
+            stats.cons_sites += 1
+    if stats:
+        stats.cons_s += time.perf_counter() - t0
+
+
 def run_audit(cfg: AudtConfig, out=None, err=None,
               collect_lines: bool = True) -> list[str]:
     """Full audt pipeline. Returns the result lines (also written to
@@ -431,6 +507,17 @@ def run_audit(cfg: AudtConfig, out=None, err=None,
             return cache[name]
 
     print("[INFO] Started processing variation file.", file=out)
+
+    # --ins-consensus: a dedicated main-thread reader for SEQ extraction
+    # (the probe reader is shared with the producer's tid lookups, and
+    # BGZF cursor state is not thread-safe).
+    ins_cons = getattr(cfg, "ins_consensus", False)
+    _cons_reader: list = []
+
+    def cons_reader():
+        if not _cons_reader:
+            _cons_reader.append(make_fetch()._reader)
+        return _cons_reader[0]
 
     from collections import deque
 
@@ -508,6 +595,11 @@ def run_audit(cfg: AudtConfig, out=None, err=None,
                               f"to NA.", file=err)
                     for w in wins:
                         w.tid = tid
+                if ins_cons and t.sv_type == SVType.INS and emit:
+                    from .pack import window_tid
+
+                    res.needs_seq = True
+                    res.cons_tid = window_tid(wins[0]) if wins else -1
                 results[t.line_index] = res
                 pending_records.append(res)
                 stats.parse_s += time.perf_counter() - t_in
@@ -619,7 +711,7 @@ def run_audit(cfg: AudtConfig, out=None, err=None,
     lines: list[str] = []
     emitted = 0
     file_out = None
-    if cfg.output_file and out is sys.stdout:
+    if cfg.output_file:
         file_out = open(cfg.output_file,
                         "a" if getattr(cfg, "resume", False) else "w")
 
@@ -627,6 +719,16 @@ def run_audit(cfg: AudtConfig, out=None, err=None,
         nonlocal emitted
         t0 = time.perf_counter()
         while pending_records and pending_records[0].remaining == 0:
+            head = pending_records[0]
+            if (head.needs_seq and head.seq is None
+                    and C.u32(head.rstart) != NA32):
+                # Resolve every completed-but-unemitted INS site in one
+                # batched POA call (natural batching: one resolution per
+                # collected device batch, not per record).
+                batch = [r for r in pending_records
+                         if r.remaining == 0 and r.needs_seq
+                         and r.seq is None and C.u32(r.rstart) != NA32]
+                _resolve_ins_consensus(batch, cons_reader(), cfg, stats)
             res = pending_records.popleft()
             del results[res.task.line_index]
             if not res.emit:

@@ -260,7 +260,7 @@ def run_scan(cfg: ScanConfig, out=None, err=None) -> tuple[int, list[str]]:
     for line in lines:
         print(line, file=out)
 
-    if cfg.output_file and out is sys.stdout:
+    if cfg.output_file:
         with open(cfg.output_file, "w") as fh:
             fh.write("\n".join(lines) + "\n")
     return best_overall, lines
