@@ -659,7 +659,10 @@ def bench_scaling():
                 return json.loads(line[len("SCALING_JSON:"):])
         raise RuntimeError(f"no scaling json: {proc.stderr[-800:]}")
 
-    curve = run([sys.executable, script], cpu_env)["curve"]
+    sweep_res = run([sys.executable, script],
+                    dict(cpu_env, SVTREK_SCALING_SWEEP="1"))
+    curve = sweep_res["curve"]
+    sweep = sweep_res.get("shard_batch_sweep", {})
     pin_env = dict(cpu_env, SVTREK_SCALING_N="8")
     t_1core = run(["taskset", "-c", "0", sys.executable, script],
                   pin_env)["curve"]["8"]["step_ms"]
@@ -711,6 +714,10 @@ def bench_scaling():
         "meets_80pct_target": bool(eff >= 0.80),
         "pinned_step_ms": {"1_core": t_1core, "2_cores": t_2core},
         "virtual_device_curve": curve,
+        "shard_batch_sweep": sweep,
+        "shard_us_per_window": {
+            k: round(v * 1e3 / (8 * int(k)), 2) for k, v in sweep.items()
+        },
         "real_chip_shardmap_overhead": round(t_shard / t_plain, 3),
         "note": ("2 physical cores is the hardware ceiling of this host; "
                  "the virtual-device curve shows shard-count overhead, "

@@ -88,6 +88,13 @@ def build_parser() -> argparse.ArgumentParser:
                            " the audt-mode partial-order-alignment path "
                            "the reference's unused abPOA submodule "
                            "intends; default off = exact output parity")
+    audt.add_argument("--poa-engine", choices=("star", "graph"),
+                      default="star",
+                      help="[TPU] consensus engine for --ins-consensus: "
+                           "star = iteratively-refined star MSA "
+                           "(default; measured quality >= POA on ONT-"
+                           "realistic divergence), graph = true "
+                           "partial-order alignment")
     audt.add_argument("--refine-inv", action="store_true", default=False,
                       help="[TPU] real INV refinement: soft-clip + D>50 "
                            "evidence at both breakpoints through the "
@@ -135,6 +142,10 @@ def build_parser() -> argparse.ArgumentParser:
     disc.add_argument("--data-shards", type=int, default=0,
                       help="[TPU] mesh shards per detection batch "
                            "(0 = all local devices)")
+    disc.add_argument("--poa-engine", choices=("star", "graph"),
+                      default="star",
+                      help="[TPU] INS consensus engine (see audt "
+                           "--poa-engine)")
     return ap
 
 
@@ -179,6 +190,7 @@ def main(argv=None) -> int:
             trace_dir=args.trace_dir,
             refine_inv=args.refine_inv,
             ins_consensus=args.ins_consensus,
+            poa_engine=args.poa_engine,
         )
         validate_file(cfg.bam_file, "[ERROR] BAM file is not provided.")
         validate_file(cfg.vcf_file, "[ERROR] VCF file is not provided.")
@@ -230,6 +242,7 @@ def main(argv=None) -> int:
             cluster_window=args.cluster_window,
             resume=args.resume,
             data_shards=args.data_shards,
+            poa_engine=args.poa_engine,
         )
         validate_file(cfg.gfa_file, "[ERROR] r/GFA file is not provided.")
         validate_file(cfg.gaf_file, "[ERROR] GAF file is not provided.")

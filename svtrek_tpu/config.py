@@ -64,6 +64,12 @@ class AudtConfig:
                                     # capability the reference builds but
                                     # never wires (.gitmodules:5-7);
                                     # off = exact output parity
+    poa_engine: str = "star"        # consensus engine: "star" =
+                                    # iteratively-refined star MSA
+                                    # (default; measured >= POA quality,
+                                    # tests/test_poa_graph.py), "graph" =
+                                    # true partial-order alignment
+                                    # (ops/poa_graph_batch.py)
 
 
 @dataclasses.dataclass
@@ -131,3 +137,5 @@ class DiscConfig:
                                     # path (io/gaf_native.py); falls
                                     # back to io.gaf when the native
                                     # library is unavailable
+    poa_engine: str = "star"        # consensus engine: "star" | "graph"
+                                    # (see AudtConfig.poa_engine)

@@ -416,7 +416,12 @@ def _resolve_ins_consensus(records: list[AuditResult], reader, cfg,
     bases (SEQ decode, skipped by the prefix-parse fetch); one batched
     POA call covers all records.  res.seq = "" when no consensus (too
     few/no supporting inserts) — printed as NA."""
-    from ..ops.poa_batch import consensus_sequence_batch
+    if getattr(cfg, "poa_engine", "star") == "graph":
+        from ..ops.poa_graph_batch import (
+            consensus_sequence_poa_batch as consensus_sequence_batch,
+        )
+    else:
+        from ..ops.poa_batch import consensus_sequence_batch
 
     t0 = time.perf_counter()
     interval = cfg.consensus_interval

@@ -356,7 +356,7 @@ def cluster_breakpoints(
 
 
 def consensus_insert_sequences(
-    clusters: list[SvCluster], fq_path: str
+    clusters: list[SvCluster], fq_path: str, engine: str = "star"
 ) -> None:
     """Attach a consensus inserted sequence to each INS cluster.
 
@@ -385,11 +385,18 @@ def consensus_insert_sequences(
             if sub:
                 per_cluster.setdefault(id(c), []).append(sub)
 
-    from ..ops.poa_batch import consensus_sequence_batch
+    if engine == "graph":
+        from ..ops.poa_graph_batch import (
+            consensus_sequence_poa_batch as consensus_batch,
+        )
+    else:
+        from ..ops.poa_batch import (
+            consensus_sequence_batch as consensus_batch,
+        )
 
     ins = [c for c in clusters if c.type == "INS"]
     seq_lists = [per_cluster.get(id(c), []) for c in ins]
-    for c, s in zip(ins, consensus_sequence_batch(seq_lists)):
+    for c, s in zip(ins, consensus_batch(seq_lists)):
         if s:
             c.seq = s
 
@@ -492,7 +499,8 @@ def run_discover(cfg: DiscConfig, out=None, err=None) -> list[str]:
 
     clusters = cluster_breakpoints(bps, cfg.consensus_min_count,
                                    getattr(cfg, "cluster_window", 100))
-    consensus_insert_sequences(clusters, cfg.fq_file)
+    consensus_insert_sequences(clusters, cfg.fq_file,
+                               getattr(cfg, "poa_engine", "star"))
 
     # Stream result lines to the output file as they are finalized
     # (VERDICT r2: disc's output was one non-streamed join; audt and

@@ -19,6 +19,32 @@ import os
 import sys
 
 
+def build_disc_problem():
+    """Deterministic projected-run batch (seed 11) shared by the worker
+    and the parent test: 16 reads x 16 runs with planted >=50 bp
+    INS/DEL/clip signals."""
+    import numpy as np
+
+    N, O = 16, 16
+    rng = np.random.default_rng(11)
+    ops = np.full((N, O), 9, np.int8)
+    lens = np.zeros((N, O), np.int32)
+    n_runs = rng.integers(3, O, N).astype(np.int32)
+    ref_start = rng.integers(1_000, 500_000, N).astype(np.int32)
+    for i in range(N):
+        n = n_runs[i]
+        o = rng.choice([0, 1, 2, 4], n).astype(np.int8)
+        l = rng.integers(1, 45, n).astype(np.int32)
+        # plant a big signal in most reads (some leading/trailing S)
+        if i % 4 != 3:
+            k = int(rng.integers(0, n))
+            o[k] = rng.choice([1, 2, 4])
+            l[k] = int(rng.integers(50, 200))
+        ops[i, :n] = o
+        lens[i, :n] = l
+    return ops, lens, n_runs, ref_start
+
+
 def main():
     coord, nproc, pid, out_path = sys.argv[1:5]
     nproc, pid = int(nproc), int(pid)
@@ -37,7 +63,7 @@ def main():
 
     from svtrek_tpu.parallel.mesh import (
         init_distributed, make_global_array, make_mesh,
-        sharded_consensus_step,
+        sharded_consensus_step, sharded_disc_step,
     )
 
     n_dev = init_distributed(coord, nproc, pid)
@@ -74,9 +100,42 @@ def main():
         for k, (v, o) in enumerate(zip(vals, ovfs)):
             out.append([start + k, v, o])
 
+    # --- disc detection over the same global mesh (VERDICT r3 item 8:
+    # row-for-row parity of sharded_disc_step across 2 real processes).
+    d_ops, d_lens, d_nruns, d_ref = build_disc_problem()
+    N = d_ops.shape[0]
+    n_loc = N // mesh.size
+    CAP = 8
+    rows_p = N // nproc
+    dlo = pid * rows_p
+    g = [make_global_array(a[dlo : dlo + rows_p], mesh)
+         for a in (d_ops, d_lens, d_nruns, d_ref)]
+    dstep = sharded_disc_step(mesh, min_len=50, cap=CAP)
+    totals, brow, btype, bref, bread, blen = dstep(*g)
+
+    def shards(arr):
+        return {(sh.index[0].start or 0): np.asarray(sh.data)
+                for sh in arr.addressable_shards}
+
+    tsh = shards(totals)
+    rsh, tysh, refsh, readsh, lnsh = (shards(x) for x in
+                                      (brow, btype, bref, bread, blen))
+    disc_rows = []
+    for s, t in tsh.items():           # totals sharded 1/device → s = shard
+        n = int(t[0])
+        assert n <= CAP, (s, n)
+        blk = s * CAP
+        for k in range(n):
+            disc_rows.append([
+                s * n_loc + int(rsh[blk][k]), int(tysh[blk][k]),
+                int(refsh[blk][k]), int(readsh[blk][k]),
+                int(lnsh[blk][k]),
+            ])
+
     with open(out_path, "w") as fh:
-        json.dump({"pid": pid, "rows": out}, fh)
-    print(f"[worker {pid}] ok: {len(out)} rows", flush=True)
+        json.dump({"pid": pid, "rows": out, "disc_rows": disc_rows}, fh)
+    print(f"[worker {pid}] ok: {len(out)} rows, "
+          f"{len(disc_rows)} disc rows", flush=True)
 
 
 if __name__ == "__main__":

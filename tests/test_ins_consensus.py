@@ -112,6 +112,17 @@ def test_clean_insert_recovered_exactly(tmp_path, native):
     assert m.group(1) == insert
 
 
+def test_graph_poa_engine_recovers_insert(tmp_path):
+    """--poa-engine graph: the true-POA engine through the full audt
+    pipeline (ops/poa_graph_batch.py)."""
+    insert = _rand_seq(random.Random(21), 70)
+    bam, vcf = build_fixture(str(tmp_path), insert, noisy=True, seed=21)
+    lines = _run(bam, vcf, True, poa_engine="graph")
+    m = re.search(r"seq: ([ACGTN]+)$", lines[0])
+    assert m, lines[0]
+    assert _edit_distance(m.group(1), insert) <= len(insert) // 10
+
+
 @pytest.mark.parametrize("native", [True, False])
 def test_noisy_insert_within_quality_bound(tmp_path, native):
     insert = _rand_seq(random.Random(7), 100)

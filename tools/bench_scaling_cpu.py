@@ -82,9 +82,43 @@ def main():
                           "efficiency": round(t1 / (n * t), 3)}
                          if t1 else {})}
              for n, t in times.items()}
+
+    # Per-shard batch-size sweep (VERDICT r3 item 6): fixed 8 shards,
+    # B/shard swept — separates per-shard overhead from the XLA-CPU
+    # multithreading artifact in the mesh-size curve.  The per-window
+    # cost knee marks where sharding overhead is amortized.
+    sweep = {}
+    if os.environ.get("SVTREK_SCALING_SWEEP") and len(devices) >= 8:
+        mesh = make_mesh(devices[:8])
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("data"))
+        for bps in (256, 512, 1024, 2048, 4096, 8192):
+            B_tot = 8 * bps
+            bench.B = B_tot
+            ops, lens, pos, n_ops, wid, kind, istart, iend, ipos = \
+                bench.make_workload()
+            step = sharded_audit_step(mesh, num_windows=B_tot, K=64)
+            wid_local = (wid % bps).astype(np.int32)
+            args = [jax.device_put(x, sh) for x in (
+                ops, lens, pos.astype(np.int32), n_ops, wid_local, kind,
+                istart.astype(np.int32), iend.astype(np.int32),
+                ipos.astype(np.int32))]
+            r = step(*args)
+            jax.block_until_ready(r)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    r = step(*args)
+                jax.block_until_ready(r)
+                best = min(best, (time.perf_counter() - t0) / 3)
+            sweep[str(bps)] = round(best * 1e3, 3)
+
     print("SCALING_JSON:" + json.dumps({
         "total_windows": B,
         "curve": curve,
+        "shard_batch_sweep": sweep,
         "physical_cores": os.cpu_count(),
     }))
 
