@@ -41,7 +41,7 @@ from .poa import GAP, MATCH, MISMATCH, _BASES, banded_align, encode
 NEG = -(1 << 28)
 
 
-def _dp_one(t, m, q, n, band, *, W: int):
+def _dp_one(t, m, q, n, band, *, W: int, unroll: int = 1):
     """Banded DP + traceback for one (target, query) pair.
 
     t: [M] int8 padded target; q: [N] int8 padded query;
@@ -98,7 +98,8 @@ def _dp_one(t, m, q, n, band, *, W: int):
         return row, prow
 
     _, ptr = jax.lax.scan(
-        step, row0, jnp.arange(1, N + 1, dtype=jnp.int32)
+        step, row0, jnp.arange(1, N + 1, dtype=jnp.int32),
+        unroll=unroll,
     )  # ptr[i-1] = pointer row i, int8 [N, width]
 
     # Traceback (scalar poa.py): diag emits the query base onto the
@@ -128,14 +129,25 @@ def _dp_one(t, m, q, n, band, *, W: int):
     cols0 = jnp.full((M,), -1, jnp.int8)
     ins0 = jnp.zeros((M + 1,), jnp.int32)
     (_, _, cols, ins), _ = jax.lax.scan(
-        tb_step, (n, m, cols0, ins0), None, length=N + M
+        tb_step, (n, m, cols0, ins0), None, length=N + M,
+        unroll=unroll,
     )
     return cols, ins
 
 
-@functools.partial(jax.jit, static_argnames=("W",))
-def _dp_cols_batch(tpad, ms, qpad, ns, bands, *, W):
-    return jax.vmap(functools.partial(_dp_one, W=W))(tpad, ms, qpad, ns, bands)
+# Scan-body unroll factor: both scans' per-step work ([B, 2W+1] row
+# updates; a handful of gathers in the traceback) is far below VPU
+# width, so the scans are loop-overhead-bound; unrolling amortizes it
+# with bit-identical semantics (lax.scan unroll is pure loop unrolling;
+# tests/test_poa_batch.py asserts batch == scalar).  bench.py's
+# poa_dp_cells_per_sec stage records the measured effect per round.
+UNROLL = 8
+
+
+@functools.partial(jax.jit, static_argnames=("W", "unroll"))
+def _dp_cols_batch(tpad, ms, qpad, ns, bands, *, W, unroll=UNROLL):
+    return jax.vmap(functools.partial(_dp_one, W=W, unroll=unroll))(
+        tpad, ms, qpad, ns, bands)
 
 
 def _pow2(n: int, lo: int) -> int:

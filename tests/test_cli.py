@@ -210,3 +210,28 @@ def test_cli_disc_resume_checkpoint(tmp_path, capsys):
     os.utime(gaf, (1, 1))
     assert cli.main(args) == 0
     assert "Resume:" not in capsys.readouterr().err
+
+
+def test_cli_new_flag_plumbing(tmp_path):
+    """Round-4 flags reach the configs: --ins-consensus, --poa-engine
+    (audt + disc), --cluster-window (parser-level check)."""
+    ap = cli.build_parser()
+    a = ap.parse_args(["audt", "-b", "x.bam", "-v", "x.vcf",
+                       "--ins-consensus", "--poa-engine", "graph"])
+    assert a.ins_consensus and a.poa_engine == "graph"
+    d = ap.parse_args(["disc", "-r", "g", "-a", "a", "-q", "q",
+                       "--cluster-window", "250", "--poa-engine", "graph"])
+    assert d.cluster_window == 250 and d.poa_engine == "graph"
+
+
+def test_cli_disc_poa_engine_runs(tmp_path, capsys):
+    gfa, gaf, fq = _disc_inputs(tmp_path)
+    out = str(tmp_path / "pg.out")
+    assert cli.main(["disc", "-r", gfa, "-a", gaf, "-q", fq, "-o", out,
+                     "--poa-engine", "graph"]) == 0
+    star = str(tmp_path / "ps.out")
+    assert cli.main(["disc", "-r", gfa, "-a", gaf, "-q", fq,
+                     "-o", star]) == 0
+    # identical supporting inserts: both engines emit the same consensus
+    with open(out) as fh1, open(star) as fh2:
+        assert fh1.read() == fh2.read()
