@@ -109,6 +109,35 @@ def build_bench_bin() -> str:
     return _BENCH_BIN
 
 
+_SCANBENCH_BIN = os.path.join(_HERE, "scanbench")
+
+
+def build_scanbench_bin() -> str:
+    """Compile the MEASURED scan-mode baseline: the reference's own
+    sliding_window_ins (sliding_window.c, unmodified) against the
+    htslib-faithful real-file backend (htsio.c).  Returns the
+    executable path (tests/refshim/scanbench)."""
+    srcs = [os.path.join(_HERE, "scanbench_main.c"),
+            os.path.join(_HERE, "htsio.c")]
+    for s in _REF_SOURCES:
+        srcs.append(os.path.join(_REF, s))
+    for s in srcs:
+        if not os.path.exists(s):
+            raise ShimUnavailable(f"missing source {s}")
+    if not os.path.exists(_SCANBENCH_BIN) or any(
+            os.path.getmtime(s) > os.path.getmtime(_SCANBENCH_BIN)
+            for s in srcs):
+        cmd = ["gcc", "-O3", "-g", "-I" + _HERE, "-I" + _REF, *srcs,
+               "-o", _SCANBENCH_BIN, "-lpthread", "-lz"]
+        if os.path.exists("/usr/include/libdeflate.h"):
+            cmd.insert(1, "-DSVTREK_HAVE_LIBDEFLATE")
+            cmd.append("-ldeflate")
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise ShimUnavailable(f"gcc failed:\n{proc.stderr}")
+    return _SCANBENCH_BIN
+
+
 def write_reads_file(path: str, reads) -> None:
     """Serialize [(tid, pos, [(op, len), ...]), ...] for shim_load_reads."""
     n = len(reads)
