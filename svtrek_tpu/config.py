@@ -47,6 +47,11 @@ class AudtConfig:
                                     # capacity (overflow → exact C refine)
     sweep_width: int = 128          # consensus sweep anchor budget
                                     # (overflow → exact host fallback)
+    merge_fetch_gap: int = 100_000  # merge windows within this many bp
+                                    # into one region fetch (each read
+                                    # decoded once; identical per-window
+                                    # read sets by construction). 0 = one
+                                    # BAI query per window
     device: str = ""                # "" = default JAX backend
     refined_vcf: str = ""           # write a refined VCF here (SVELDT status)
     data_shards: int = 0            # mesh shards per batch (0 = all local devices)
@@ -103,6 +108,9 @@ class ScanConfig:
     max_candidates: int = 128       # evidence cap per sub-window
                                     # (overflow → exact host fallback)
     use_native_io: bool = True
+    merge_fetch_gap: int = 100_000  # merge tiles within this many bp into
+                                    # one region fetch (adjacent tiles →
+                                    # one sequential read-once pass)
 
 
 @dataclasses.dataclass

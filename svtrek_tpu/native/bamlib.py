@@ -51,6 +51,12 @@ def load_library():
         ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
         ct.POINTER(ct.c_int64),
     ]
+    lib.svbam_fetch_batch_merged.restype = ct.c_int64
+    lib.svbam_fetch_batch_merged.argtypes = [
+        ct.c_void_p, ct.c_int32, ct.POINTER(ct.c_int32),
+        ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
+        ct.c_int64, ct.POINTER(ct.c_int64),
+    ]
     lib.svbam_fill.restype = None
     lib.svbam_fill.argtypes = [
         ct.c_void_p, ct.POINTER(ct.c_int32),
@@ -197,6 +203,32 @@ class NativeBamReader:
             tids.ctypes.data_as(ct.POINTER(ct.c_int32)),
             begs.ctypes.data_as(ct.POINTER(ct.c_int64)),
             ends.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            counts.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        )
+        if total < 0:
+            self._raise_error()
+        return int(total), counts
+
+    def fetch_batch_merged(self, tids, begs, ends, merge_gap: int):
+        """fetch_batch that decodes each read ONCE: windows within
+        merge_gap bp of each other are fetched as one merged region and
+        every window is assigned the rows of its overlapping reads
+        (identical per-window read sets/order to fetch_batch — the
+        htslib iterator overlap test is re-applied per window in C).
+        The row selection stays on the handle; extract_batch consumes
+        it transparently.  NOT compatible with fill()/batch_columns()
+        consumers, which assume one row per (read, window) instance."""
+        n = len(tids)
+        tids = np.ascontiguousarray(tids, np.int32)
+        begs = np.ascontiguousarray(begs, np.int64)
+        ends = np.ascontiguousarray(ends, np.int64)
+        counts = np.empty(n, np.int64)
+        total = self._lib.svbam_fetch_batch_merged(
+            self._h, n,
+            tids.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            begs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            ends.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            int(merge_gap),
             counts.ctypes.data_as(ct.POINTER(ct.c_int64)),
         )
         if total < 0:

@@ -531,6 +531,10 @@ typedef struct {
     vec_t opoff;    /* int64 per read: start offset into ops/lens */
     vec_t ops;      /* uint8 flattened */
     vec_t lens;     /* int32 flattened */
+    vec_t endp;     /* int64 per read: htslib endpos (pos + ref span) */
+    vec_t widx;     /* int64: merged-fetch row selection (see
+                       svbam_fetch_batch_merged); empty = rows are
+                       consecutive per window (plain fetch_batch) */
     uint8_t *rec;   /* record scratch */
     size_t rec_cap;
     /* per-handle scratch: handles are used from multiple threads
@@ -599,6 +603,7 @@ void *svbam_open(const char *path) {
 
     vec_init(&b->pos, 8); vec_init(&b->nops, 4); vec_init(&b->opoff, 8);
     vec_init(&b->ops, 1); vec_init(&b->lens, 4);
+    vec_init(&b->endp, 8); vec_init(&b->widx, 8);
     vec_init(&b->insbuf, 1); vec_init(&b->insoff, 8);
     return b;
 fail:
@@ -620,6 +625,7 @@ void svbam_close(void *h) {
     if (b->idxp) idx_release(b->idxp);
     vec_free(&b->pos); vec_free(&b->nops); vec_free(&b->opoff);
     vec_free(&b->ops); vec_free(&b->lens);
+    vec_free(&b->endp); vec_free(&b->widx);
     vec_free(&b->insbuf); vec_free(&b->insoff);
     vec_free(&b->binvec);
     vec_free(&b->chunkvec);
@@ -790,6 +796,7 @@ static int64_t fetch_into(svbam_t *b, int32_t tid, int64_t beg, int64_t end) {
             }
             int64_t endpos = ref_len > 0 ? rpos + ref_len : rpos + 1;
             if (endpos <= beg) continue;
+            *(int64_t *)vec_push(&b->endp, 1) = endpos;
             *(int64_t *)vec_push(&b->pos, 1) = rpos;
             *(int32_t *)vec_push(&b->nops, 1) = n_cigar;
             *(int64_t *)vec_push(&b->opoff, 1) = (int64_t)b->ops.len;
@@ -811,6 +818,7 @@ done:
 int64_t svbam_fetch(void *h, int32_t tid, int64_t beg, int64_t end) {
     svbam_t *b = h;
     b->pos.len = b->nops.len = b->opoff.len = b->ops.len = b->lens.len = 0;
+    b->endp.len = b->widx.len = 0;
     b->errmsg[0] = 0;
     return fetch_into(b, tid, beg, end);
 }
@@ -824,12 +832,140 @@ int64_t svbam_fetch_batch(void *h, int32_t n, const int32_t *tids,
                           int64_t *win_counts) {
     svbam_t *b = h;
     b->pos.len = b->nops.len = b->opoff.len = b->ops.len = b->lens.len = 0;
+    b->endp.len = b->widx.len = 0;
     b->errmsg[0] = 0;
     for (int32_t i = 0; i < n; i++) {
         win_counts[i] = fetch_into(b, tids[i], begs[i], ends[i]);
         if (win_counts[i] < 0) return -1;  /* errmsg set by fetch_into */
     }
     return (int64_t)b->pos.len;
+}
+
+/* Merged multi-window fetch.  Overlapping audit windows (a DEL's end
+ * window inside its start window; neighboring records' windows bridged
+ * by long reads; scan mode's adjacent tiles) re-fetch the same reads —
+ * the per-read cost is ~1 BGZF block inflate (record prefixes land one
+ * per block at long-read record sizes), so duplicate fetches dominate
+ * the host pipeline.  This entry sorts the windows by (tid, beg),
+ * merges any whose genomic gap is < merge_gap into one region, fetches
+ * each region ONCE, and assigns each window the rows of its overlapping
+ * reads with the exact htslib iterator test the per-window fetch uses
+ * (pos < end && endpos > beg, file order) — so the per-window read sets
+ * and their order are identical to svbam_fetch_batch's, each read is
+ * decoded once, and windows may SHARE rows.  The row selection
+ * (win_counts[i] row indices per window, original window order) is
+ * stored on the handle; svbam_extract_batch consumes it transparently.
+ * NOT for the svbam_fill path (fill assumes one row per (read, window)
+ * instance).  Returns total DISTINCT rows fetched, -1 on decode error. */
+typedef struct { int32_t tid; int64_t beg; int32_t i; } wkey_t;
+
+/* (tid, beg, original index) — the index tiebreak keeps the sort
+ * stable, so identical windows keep their input order. */
+static int wkey_cmp(const void *a, const void *c) {
+    const wkey_t *x = a, *y = c;
+    if (x->tid != y->tid) return x->tid < y->tid ? -1 : 1;
+    if (x->beg != y->beg) return x->beg < y->beg ? -1 : 1;
+    return x->i < y->i ? -1 : (x->i > y->i ? 1 : 0);
+}
+
+int64_t svbam_fetch_batch_merged(void *h, int32_t n, const int32_t *tids,
+                                 const int64_t *begs, const int64_t *ends,
+                                 int64_t merge_gap, int64_t *win_counts) {
+    svbam_t *b = h;
+    b->pos.len = b->nops.len = b->opoff.len = b->ops.len = b->lens.len = 0;
+    b->endp.len = b->widx.len = 0;
+    b->errmsg[0] = 0;
+    if (n <= 0) return 0;
+
+    /* sort window indices by (tid, beg); invalid windows don't fetch */
+    wkey_t *keys = malloc((size_t)n * sizeof(wkey_t));
+    int64_t *sel_off = malloc((size_t)n * 8);
+    int64_t *sel_cnt = calloc((size_t)n, 8);
+    vec_t selv; vec_init(&selv, 8);   /* row indices, group order */
+    vec_t pmax; vec_init(&pmax, 8);   /* prefix-max endpos scratch */
+    int32_t nvalid = 0;
+    for (int32_t i = 0; i < n; i++) {
+        if (tids[i] >= 0 && begs[i] < ends[i]) {
+            keys[nvalid].tid = tids[i];
+            keys[nvalid].beg = begs[i] < 0 ? 0 : begs[i];
+            keys[nvalid].i = i;
+            nvalid++;
+        }
+        /* invalid/empty window: count stays 0, no fetch (parity with
+         * fetch_into's tid<0 / beg>=end empty returns) */
+    }
+    qsort(keys, nvalid, sizeof(wkey_t), wkey_cmp);
+
+    int64_t err = 0;
+    for (int32_t g0 = 0; g0 < nvalid && !err; ) {
+        int32_t gtid = keys[g0].tid;
+        int64_t gbeg = keys[g0].beg;
+        int64_t gend = ends[keys[g0].i];
+        int32_t g1 = g0 + 1;
+        while (g1 < nvalid && keys[g1].tid == gtid
+               && keys[g1].beg <= gend + merge_gap) {
+            if (ends[keys[g1].i] > gend) gend = ends[keys[g1].i];
+            g1++;
+        }
+        size_t r0 = b->pos.len;
+        if (fetch_into(b, gtid, gbeg, gend) < 0) { err = -1; break; }
+        size_t gn = b->pos.len - r0;
+        const int64_t *gpos = (const int64_t *)b->pos.data + r0;
+        const int64_t *gend_p = (const int64_t *)b->endp.data + r0;
+        pmax.len = 0;
+        int64_t *pm = vec_push(&pmax, gn ? gn : 1);
+        int64_t mx = INT64_MIN;
+        for (size_t j = 0; j < gn; j++) {
+            if (gend_p[j] > mx) mx = gend_p[j];
+            pm[j] = mx;
+        }
+        for (int32_t k = g0; k < g1; k++) {
+            int32_t i = keys[k].i;
+            int64_t wbeg = keys[k].beg, wend = ends[i];
+            /* lo: first row that could overlap (all before have
+             * endpos <= wbeg); hi: first row with pos >= wend (pos is
+             * non-decreasing in file order within a region) */
+            size_t lo = 0, hi = gn;
+            {
+                size_t a = 0, c = gn;
+                while (a < c) {
+                    size_t m = (a + c) / 2;
+                    if (pm[m] > wbeg) c = m; else a = m + 1;
+                }
+                lo = a;
+                a = lo; c = gn;
+                while (a < c) {
+                    size_t m = (a + c) / 2;
+                    if (gpos[m] < wend) a = m + 1; else c = m;
+                }
+                hi = a;
+            }
+            sel_off[i] = (int64_t)selv.len;
+            for (size_t j = lo; j < hi; j++) {
+                if (gpos[j] < wend && gend_p[j] > wbeg)
+                    *(int64_t *)vec_push(&selv, 1) = (int64_t)(r0 + j);
+            }
+            sel_cnt[i] = (int64_t)selv.len - sel_off[i];
+        }
+        g0 = g1;
+    }
+
+    int64_t total = (int64_t)b->pos.len;
+    if (!err) {
+        const int64_t *sv = selv.data;
+        for (int32_t i = 0; i < n; i++) {
+            win_counts[i] = sel_cnt[i];
+            if (sel_cnt[i]) {
+                memcpy(vec_push(&b->widx, (size_t)sel_cnt[i]),
+                       sv + sel_off[i], (size_t)sel_cnt[i] * 8);
+            }
+        }
+        /* widx empty (every window empty) still means "indexed mode
+         * off" downstream, which is correct: all counts are 0. */
+    }
+    free(keys); free(sel_off); free(sel_cnt);
+    vec_free(&selv); vec_free(&pmax);
+    return err ? -1 : total;
 }
 
 /* Scatter the last fetch into fixed-shape device matrices:
@@ -1039,11 +1175,16 @@ void svbam_extract_batch(void *h, int32_t nwin, const int32_t *kinds,
     const int64_t *ropoff = b->opoff.data;
     const uint8_t *ops = b->ops.data;
     const int32_t *lens = b->lens.data;
+    /* merged-fetch mode: window w's reads are the widx rows
+     * [sum(win_counts[0..w)), +win_counts[w]) instead of consecutive
+     * fetch rows (svbam_fetch_batch_merged) */
+    const int64_t *widx = b->widx.len ? (const int64_t *)b->widx.data : NULL;
     vec_t cands; vec_init(&cands, 4);
     int64_t row = 0;
     for (int32_t w = 0; w < nwin; w++) {
         cands.len = 0;
-        for (int64_t r = row; r < row + win_counts[w]; r++) {
+        for (int64_t t = row; t < row + win_counts[w]; t++) {
+            int64_t r = widx ? widx[t] : t;
             int n = rnops[r];
             if (!n) continue;
             extract_read(kinds[w], ops + ropoff[r], lens + ropoff[r], n,

@@ -599,7 +599,16 @@ def pack_chunk_cand(window_chunk: Sequence[WindowSpec], reader, cfg,
             begs[i] = int(C.u32(w.inter_start - 1))
             ends[i] = int(C.u32(w.inter_end - 1))
 
-    total, win_counts = reader.fetch_batch(tids, begs, ends)
+    # Merged fetch (default): overlapping/nearby windows share one
+    # region fetch and each read is decoded once — the per-window read
+    # sets are identical by construction (the htslib overlap test is
+    # re-applied per window in C), so results cannot differ.
+    merge_gap = int(getattr(cfg, "merge_fetch_gap", 0) or 0)
+    if merge_gap > 0 and hasattr(reader, "fetch_batch_merged"):
+        total, win_counts = reader.fetch_batch_merged(tids, begs, ends,
+                                                      merge_gap)
+    else:
+        total, win_counts = reader.fetch_batch(tids, begs, ends)
     K = _pow2(min(getattr(cfg, "cand_width", 128), 8192), lo=16)
     locs, counts, refined = reader.extract_batch(
         kinds, istart, iend, ipos, win_counts, K,

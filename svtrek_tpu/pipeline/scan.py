@@ -149,67 +149,123 @@ def run_scan_tiles_native(
     reader,
     cfg: ScanConfig,
     tid: int | None = None,
+    make_reader=None,
 ) -> list[tuple[int, int]]:
-    """audt-grade host path for scan: one C fetch_batch + one C
+    """audt-grade host path for scan: one C merged fetch + one C
     extract_batch call per chunk (GIL released throughout), the strided
     cluster scan batched on device — no per-read Python objects
     (VERDICT round-1 item 5).  Tiles whose evidence overflows K are
-    re-fetched and scanned by the scalar oracle (exactness preserved)."""
+    re-fetched and scanned by the scalar oracle (exactness preserved).
+
+    When ``make_reader`` is given, chunks' host stages (fetch + extract,
+    decode-bandwidth-bound) run on a cfg.thread_number worker pool with
+    one private reader per worker — the audt producer-pool treatment —
+    while the device scan consumes completed chunks in order."""
     results: list[tuple[int, int]] = [(-1, 0)] * len(tiles)
     K = _next_pow2(min(cfg.max_candidates, 8192), 64)
     if tid is None:
         tid = cfg.chrom - 1
+    merge_gap = int(getattr(cfg, "merge_fetch_gap", 0) or 0)
 
-    for base in range(0, len(tiles), cfg.batch_windows):
-        chunk = tiles[base : base + cfg.batch_windows]
+    chunks = [(base, tiles[base:base + cfg.batch_windows])
+              for base in range(0, len(tiles), cfg.batch_windows)]
+
+    def host_stage(chunk, rd):
+        """Fetch + extract one chunk on reader `rd`; overflow tiles'
+        reads are packed HERE (the handle belongs to this worker) so
+        the oracle can run on the main thread without handle races."""
         n = len(chunk)
         tids = np.full(n, tid if tid >= 0 else -1, np.int32)
         begs = np.fromiter((int(C.u32(s - 1)) for s, _ in chunk),
                            np.int64, n)
         ends = np.fromiter((int(C.u32(e - 1)) for _, e in chunk),
                            np.int64, n)
-        total, win_counts = reader.fetch_batch(tids, begs, ends)
+        # Adjacent scan tiles merge into ONE region fetch per chunk
+        # (each read decoded once; per-tile read sets identical).
+        if merge_gap > 0 and hasattr(rd, "fetch_batch_merged"):
+            total, win_counts = rd.fetch_batch_merged(
+                tids, begs, ends, merge_gap)
+        else:
+            total, win_counts = rd.fetch_batch(tids, begs, ends)
         kinds = np.full(n, KIND_INS, np.int32)
         istart = np.fromiter((int(C.u32(s)) for s, _ in chunk), np.int64, n)
         iend = np.fromiter((int(C.u32(e)) for _, e in chunk), np.int64, n)
         ipos = np.zeros(n, np.int64)
-        locs, counts, _ = reader.extract_batch(
+        locs, counts, _ = rd.extract_batch(
             kinds, istart, iend, ipos, win_counts, K,
             cfg.consensus_min_count, cfg.consensus_interval,
             cfg.consensus_interval_range,
         )
+        overflow = {}
+        for b in np.nonzero(counts > K)[0]:
+            overflow[int(b)] = rd.fetch_packed(
+                int(tids[b]), int(begs[b]), int(ends[b]))
+        return locs, counts, overflow
 
-        B = max(cfg.batch_windows, n)
-        if B != n:
-            locs_p = np.full((B, K), 0x7FFFFFFF, np.int32)
-            locs_p[:n] = locs
-            counts_p = np.zeros(B, np.int32)
-            counts_p[:n] = np.minimum(counts, K)
-        else:
-            locs_p = locs
-            counts_p = np.minimum(counts, K)
+    n_workers = max(1, min(cfg.thread_number, len(chunks)))
+    if n_workers > 1 and make_reader is not None:
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
 
-        best, support = window_scan_batch(
-            locs_p, counts_p,
-            min_count=cfg.consensus_min_count,
-            window_size=cfg.window_size, slide_size=cfg.slide_size,
-        )
+        tls = threading.local()
+
+        def work(chunk):
+            if not hasattr(tls, "rd"):
+                tls.rd = make_reader()
+            return host_stage(chunk, tls.rd)
+
+        ex = ThreadPoolExecutor(n_workers, thread_name_prefix="svtrek-scan")
+        staged = ex.map(work, (c for _, c in chunks))
+    else:
+        ex = None
+        staged = (host_stage(c, reader) for _, c in chunks)
+
+    def apply(base, chunk, counts, overflow, best, support):
         best = np.asarray(best)
         support = np.asarray(support)
         for b, (s, e) in enumerate(chunk):
             if counts[b] > K:
-                # Rare overflow: re-fetch this tile and run the oracle.
-                packed = reader.fetch_packed(
-                    int(tids[b]), int(begs[b]), int(ends[b]))
+                # Rare overflow: exact scalar oracle over the reads
+                # the host stage packed for this tile.
                 from .pack import PackedReads
 
                 evidence = extract_candidates(
-                    KIND_INS, PackedReads(*packed).to_list(), s, e)
+                    KIND_INS, PackedReads(*overflow[b]).to_list(), s, e)
                 results[base + b] = window_scan(
                     evidence, cfg.consensus_min_count,
                     cfg.window_size, cfg.slide_size)
             else:
                 results[base + b] = (int(best[b]), int(support[b]))
+
+    from collections import deque
+
+    in_flight: deque = deque()  # device batches ride async dispatch
+    try:
+        for (base, chunk), (locs, counts, overflow) in zip(chunks, staged):
+            n = len(chunk)
+            B = max(cfg.batch_windows, n)
+            if B != n:
+                locs_p = np.full((B, K), 0x7FFFFFFF, np.int32)
+                locs_p[:n] = locs
+                counts_p = np.zeros(B, np.int32)
+                counts_p[:n] = np.minimum(counts, K)
+            else:
+                locs_p = locs
+                counts_p = np.minimum(counts, K)
+
+            best, support = window_scan_batch(
+                locs_p, counts_p,
+                min_count=cfg.consensus_min_count,
+                window_size=cfg.window_size, slide_size=cfg.slide_size,
+            )
+            in_flight.append((base, chunk, counts, overflow, best, support))
+            if len(in_flight) > 3:
+                apply(*in_flight.popleft())
+        while in_flight:
+            apply(*in_flight.popleft())
+    finally:
+        if ex is not None:
+            ex.shutdown(wait=True)
     return results
 
 
@@ -227,7 +283,12 @@ def run_scan(cfg: ScanConfig, out=None, err=None) -> tuple[int, list[str]]:
     tiles = scan_tiles(cfg)
     if reader is not None and hasattr(reader, "extract_batch"):
         tid = resolve_scan_tid(cfg, reader)
-        results = run_scan_tiles_native(tiles, reader, cfg, tid=tid)
+
+        def make_reader():
+            return native_bam_reader(cfg.bam_file)
+
+        results = run_scan_tiles_native(tiles, reader, cfg, tid=tid,
+                                        make_reader=make_reader)
     else:
         if reader is None:
             reader = BamReader(cfg.bam_file)

@@ -146,3 +146,57 @@ def test_audit_native_io_matches_python_io(tmp_path):
                    batch_windows=4),
         out=io.StringIO(), err=io.StringIO())
     assert nat == py
+
+
+def test_fetch_batch_merged_matches_plain(bam_fixture):
+    """svbam_fetch_batch_merged must give every window the exact read
+    set (and file order) the per-window fetch gives it, for adversarial
+    window mixes: unsorted, nested, duplicated, adjacent, wrapped,
+    invalid-tid, and gap-spanning windows, at several merge_gap values —
+    verified through extract_batch (the consumer), whose (locs, counts,
+    refined) triple is a function of the per-window read sets."""
+    from svtrek_tpu.constants import KIND_DEL_END, KIND_DEL_START, KIND_INS
+
+    path, recs, chrom_len = bam_fixture
+    nrd = bamlib.NativeBamReader(path)
+    rng = random.Random(33)
+    kinds_cycle = [KIND_DEL_START, KIND_DEL_END, KIND_INS]
+
+    def build_windows():
+        tids, begs, ends, kinds = [], [], [], []
+        for i in range(120):
+            p = rng.randrange(0, chrom_len)
+            w = rng.choice([50, 500, 5_000, 40_000])
+            tids.append(0)
+            begs.append(max(0, p - w))
+            ends.append(p + w)
+            kinds.append(kinds_cycle[i % 3])
+        # nested + duplicate + adjacent runs
+        begs[1], ends[1] = begs[0] + 10, max(begs[0] + 20, ends[0] - 10)
+        begs[2], ends[2] = begs[0], ends[0]          # exact duplicate
+        begs[3], ends[3] = ends[0], ends[0] + 1000   # adjacent
+        # invalid tid / wrapped interval / empty
+        tids[4] = -1
+        begs[5], ends[5] = 500_000, 400_000          # beg >= end
+        tids[6] = 7                                  # tid out of range
+        return (np.array(tids, np.int32), np.array(begs, np.int64),
+                np.array(ends, np.int64), np.array(kinds, np.int32))
+
+    for gap in (1, 1000, 10_000_000):
+        tids, begs, ends, kinds = build_windows()
+        istart = (begs + 1).astype(np.int64)
+        iend = (ends + 1).astype(np.int64)
+        ipos = ((begs + ends) // 2).astype(np.int64)
+        K = 64
+
+        _, wc_plain = nrd.fetch_batch(tids, begs, ends)
+        plain = nrd.extract_batch(kinds, istart, iend, ipos, wc_plain,
+                                  K, 3, 5, 500)
+        tot_m, wc_merged = nrd.fetch_batch_merged(tids, begs, ends, gap)
+        merged = nrd.extract_batch(kinds, istart, iend, ipos, wc_merged,
+                                   K, 3, 5, 500)
+
+        assert np.array_equal(wc_plain, wc_merged), gap
+        for a, b in zip(plain, merged):
+            assert np.array_equal(a, b), gap
+        assert tot_m >= 0  # -1 would have raised in the binding
