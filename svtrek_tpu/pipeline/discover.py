@@ -375,7 +375,7 @@ def consensus_insert_sequences(
         return
 
     per_cluster: dict[int, list[str]] = {}
-    for name, seq in iter_fastq(fq_path):
+    for name, seq in iter_fastq(fq_path, names=wanted):
         hits = wanted.get(name)
         if not hits:
             continue
