@@ -122,8 +122,51 @@ def make_workload(seed=0):
             kind, istart.astype(np.int64), iend.astype(np.int64),
             ipos.astype(np.int64))
 
-def bench_device(work):
+UNREACHABLE = -987654321  # never a refine result or DP count
+
+
+def _chained_seconds_per_call(make_chained, lo: int = 4, hi: int = 12):
+    """Defensible per-call device time: run the body S times inside ONE
+    compiled lax.scan whose carry depends on each iteration's output
+    (a compare against an unreachable constant — zero in practice, but
+    the compiler cannot prove it, so nothing hoists), with a consumed
+    per-iteration reduction in the scan outputs.  Time S=lo and S=hi and
+    take the slope — constant dispatch/transfer overhead cancels, and a
+    backend that memoizes repeated identical executions (observed on the
+    tunneled accelerator: async-dispatch loops of identical calls
+    returned ~4000x faster than one real execution, tools/
+    poa_timing_check.py) cannot fake a slope.  Returns
+    (sec_per_call, linearity) where linearity = t_hi / t_lo; ~hi/lo
+    means clean scaling, ~1.0 means the measurement is NOT trustworthy
+    (memoized/elided) and the caller should flag it."""
     import jax
+
+    def timed(iters):
+        fn = make_chained(iters)
+        r = fn()
+        jax.block_until_ready(r)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = fn()
+            np.asarray(jax.tree_util.tree_leaves(r)[0])  # host materialize
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo = timed(lo)
+    t_hi = timed(hi)
+    per_call = (t_hi - t_lo) / (hi - lo)
+    linearity = t_hi / t_lo if t_lo > 0 else 0.0
+    if per_call <= 0:
+        per_call = t_hi / hi  # degenerate; linearity will flag it
+    return per_call, linearity
+
+
+def bench_device(work):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
 
     from svtrek_tpu.ops.audit_step import audit_refine_step
 
@@ -141,21 +184,25 @@ def bench_device(work):
         refined, counts, overflow = audit_refine_step(*args, num_windows=B, K=K)
         return refined
 
-    refined = run()  # compile + warmup
+    refined = run()  # compile + warmup (also the parity-check output)
     refined.block_until_ready()
-    # Throughput: pipeline ITERS dispatches, block once at the end (the
-    # per-call sync round-trip through the device tunnel would otherwise
-    # dominate; the production pipeline overlaps host packing with device
-    # execution the same way).  Best of 3 windows: tunnel load adds up
-    # to ±40% noise to any single window.
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            refined = run()
-        refined.block_until_ready()
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    return (B * ITERS) / best_dt, np.asarray(refined)
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def chained(*a, iters):
+        o, l, p, no, w, kd, s, e, ip = a
+
+        def body(ip_c, _):
+            r, c, ovf = audit_refine_step(o, l, p, no, w, kd, s, e, ip_c,
+                                          num_windows=B, K=K)
+            dep = (r[:1] == jnp.int32(UNREACHABLE)).astype(jnp.int32)
+            return ip_c + dep, r.astype(jnp.int64).sum() + c.sum()
+
+        _, sums = jax.lax.scan(body, ip, None, length=iters)
+        return sums
+
+    per_call, linearity = _chained_seconds_per_call(
+        lambda iters: (lambda: chained(*args, iters=iters)))
+    return B / per_call, np.asarray(refined), linearity
 
 
 def bench_baseline(work):
@@ -198,7 +245,7 @@ def bench_baseline(work):
 
 def bench_kernel():
     work = make_workload()
-    dev_rate, dev_refined = bench_device(work)
+    dev_rate, dev_refined, linearity = bench_device(work)
     base_rate, base_refined = bench_baseline(work)
 
     if base_refined is not None:
@@ -213,6 +260,10 @@ def bench_kernel():
         "value": round(dev_rate, 1),
         "unit": "breakpoints/s",
         "vs_baseline": round(vs, 3),
+        # slope-timing self-check: ~3.0 (=12/4) means clean linear
+        # scaling in chained iterations; ~1.0 would mean the backend
+        # memoized/elided the work and the value is not trustworthy.
+        "timing_linearity": round(linearity, 3),
     }
 
 
@@ -468,17 +519,56 @@ def bench_poa():
 
     r = _dp_cols_batch(*args, W=W)
     jax.block_until_ready(r)
-    # Best-of-3 windows (VERDICT r2 item 6: only the kernel stage had
-    # the best-of treatment; single-shot windows swing >2× with tunnel
-    # load, which is exactly the PARITY-vs-BENCH_r02 discrepancy).
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(POA_ITERS):
-            r = _dp_cols_batch(*args, W=W)
-        jax.block_until_ready(r)
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    dt = best_dt / POA_ITERS
+
+    # Chained-slope timing (see _chained_seconds_per_call): the old
+    # async-dispatch loop of identical calls measured the tunnel's
+    # result memoization (~4000x optimistic), not the hardware.
+    # Measures the PRODUCTION path: the Pallas row-scan kernel on real
+    # accelerators, the XLA lax.scan on CPU (poa_batch.dp_cols_dispatch).
+    import functools
+
+    import jax.numpy as jnp
+
+    from svtrek_tpu.ops.poa_batch import _dp_one
+
+    def make_chained(use_pallas):
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def chained(tpad, ms, qpad, ns, bands, *, iters):
+            def dp(tp):
+                if use_pallas:
+                    from svtrek_tpu.ops.poa_pallas import (
+                        dp_cols_batch_pallas,
+                    )
+
+                    return dp_cols_batch_pallas(tp, ms, qpad, ns, bands,
+                                                W=W)
+                return jax.vmap(functools.partial(_dp_one, W=W))(
+                    tp, ms, qpad, ns, bands)
+
+            def body(tp, _):
+                cols, ins = dp(tp)
+                dep = (ins[:, :1] == jnp.int32(UNREACHABLE)).astype(jnp.int8)
+                return tp + dep, cols.astype(jnp.int32).sum() + ins.sum()
+
+            _, sums = jax.lax.scan(body, tpad, None, length=iters)
+            return sums
+        return chained
+
+    use_pallas = jax.default_backend() != "cpu"
+    impl = "pallas" if use_pallas else "xla-scan"
+    try:
+        chained = make_chained(use_pallas)
+        dt, linearity = _chained_seconds_per_call(
+            lambda iters: (lambda: chained(*args, iters=iters)))
+    except Exception as e:
+        if not use_pallas:
+            raise
+        print(f"[bench] pallas POA path failed ({e.__class__.__name__}); "
+              f"timing the XLA scan", file=sys.stderr)
+        impl = "xla-scan"
+        chained = make_chained(False)
+        dt, linearity = _chained_seconds_per_call(
+            lambda iters: (lambda: chained(*args, iters=iters)))
 
     eff_cells = int((ns.astype(np.int64) * (2 * bands + 1)).sum())
     rate = eff_cells / dt
@@ -494,20 +584,24 @@ def bench_poa():
     # Roofline interpretation: each effective DP cell is ~8 int32 VPU
     # ops (3 adds + 3 max + shift/select) in the row-scan formulation,
     # so cells/s × 8 is the sustained integer-op rate.  Against a
-    # ~1e14 int-op/s-class VPU peak (v5p-generation chip; the MXU is
-    # idle — banded DP is select/max-bound, not matmul-bound), this
-    # gives a rough VPU-utilization fraction; the band's sequential
-    # row dependency bounds it well below 1.0 by construction.
+    # ~4e12 int-op/s-class VPU peak (v5e: ~1024 lanes × 4 ALUs ×
+    # ~0.94 GHz; the MXU is idle — banded DP is select/max-bound, not
+    # matmul-bound), this gives a rough VPU-utilization fraction; the
+    # sequential scan-step dependency and the traceback's per-step
+    # gathers/scatters bound it far below 1.0 by construction.
     ops_per_cell = 8.0
-    vpu_peak = 1.0e14
+    vpu_peak = 4.0e12
     return {
         "metric": "poa_dp_cells_per_sec",
         "value": round(rate, 1),
         "unit": "cells/s",
         "vs_baseline": round(rate / s_rate, 3) if s_rate else 0.0,
+        "ms_per_batch_call": round(dt * 1e3, 3),
+        "timing_linearity": round(linearity, 3),
+        "impl": impl,
         "approx_vpu_int_ops_per_sec": round(rate * ops_per_cell, 1),
-        "approx_vpu_util_vs_1e14_peak": round(rate * ops_per_cell / vpu_peak,
-                                              4),
+        "approx_vpu_util_vs_4e12_v5e_peak": round(
+            rate * ops_per_cell / vpu_peak, 5),
     }
 
 
@@ -729,23 +823,36 @@ def bench_scaling():
                ipos.astype(np.int32))
     args = [jax.device_put(x) for x in args_np]
 
-    def time_step(fn):
-        r = fn()
-        jax.block_until_ready(r)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(10):
-                r = fn()
-            jax.block_until_ready(r)
-            best = min(best, time.perf_counter() - t0)
-        return best / 10
+    # Chained-slope timing (see _chained_seconds_per_call): a loop of
+    # identical calls measures the tunnel's result memoization on this
+    # backend, not the step.
+    import functools
 
-    t_plain = time_step(lambda: audit_refine_step(
-        *args, num_windows=2048, K=K))
+    import jax.numpy as jnp
+
+    def chain_of(step_fn):
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def chained(*a, iters):
+            o, l, p, no, w, kd, s, e, ip = a
+
+            def body(ip_c, _):
+                r, c, ovf = step_fn(o, l, p, no, w, kd, s, e, ip_c)
+                dep = (r[:1] == jnp.int32(UNREACHABLE)).astype(jnp.int32)
+                return ip_c + dep, r.astype(jnp.int64).sum()
+
+            _, sums = jax.lax.scan(body, ip, None, length=iters)
+            return sums
+        return chained
+
+    chain_plain = chain_of(functools.partial(
+        audit_refine_step, num_windows=2048, K=K))
+    t_plain, _ = _chained_seconds_per_call(
+        lambda iters: (lambda: chain_plain(*args, iters=iters)))
     mesh = make_mesh(jax.devices()[:1])
     step = sharded_audit_step(mesh, num_windows=2048, K=K)
-    t_shard = time_step(lambda: step(*args))
+    chain_shard = chain_of(step)
+    t_shard, _ = _chained_seconds_per_call(
+        lambda iters: (lambda: chain_shard(*args, iters=iters)))
 
     return {
         "metric": "scaling_efficiency",

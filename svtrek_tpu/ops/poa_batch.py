@@ -150,6 +150,31 @@ def _dp_cols_batch(tpad, ms, qpad, ns, bands, *, W, unroll=UNROLL):
         tpad, ms, qpad, ns, bands)
 
 
+_PALLAS_BROKEN = False
+
+
+def dp_cols_dispatch(tpad, ms, qpad, ns, bands, *, W):
+    """Production DP entry: the Pallas row-scan kernel on real
+    accelerators (grid steps are hardware loop iterations — the XLA
+    lax.scan pays ~100x roofline per step in loop overhead), the XLA
+    scan on the CPU backend (Pallas interpret mode there is far slower
+    than compiled XLA).  Bit-identical either way
+    (tests/test_poa_pallas.py)."""
+    global _PALLAS_BROKEN
+    if not _PALLAS_BROKEN and jax.default_backend() != "cpu":
+        try:
+            from .poa_pallas import dp_cols_batch_pallas
+
+            return dp_cols_batch_pallas(tpad, ms, qpad, ns, bands, W=W)
+        except Exception as e:  # lowering unsupported → XLA fallback
+            import sys
+
+            print(f"[poa] pallas path unavailable ({e.__class__.__name__}:"
+                  f" {e}); using XLA scan", file=sys.stderr)
+            _PALLAS_BROKEN = True
+    return _dp_cols_batch(tpad, ms, qpad, ns, bands, W=W)
+
+
 def _pow2(n: int, lo: int) -> int:
     v = lo
     while v < n:
@@ -224,7 +249,7 @@ def banded_cols_batch(targets, queries, band: int = 64,
         ms[bi] = len(t)
         ns[bi] = len(q)
         bands[bi] = max(band, abs(len(q) - len(t)) + 1)
-    cols_all, ins_all = (np.asarray(x) for x in _dp_cols_batch(
+    cols_all, ins_all = (np.asarray(x) for x in dp_cols_dispatch(
         tpad, ms, qpad, ns, bands, W=W))
     for bi, i in enumerate(dev_idx):
         cols_out[i] = cols_all[bi, : ms[bi]]

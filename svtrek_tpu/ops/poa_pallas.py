@@ -1,0 +1,222 @@
+"""Pallas banded-DP row scan for the POA consensus kernel.
+
+The XLA formulation (ops/poa_batch.py::_dp_one) runs one ``lax.scan``
+step per query row; measured with dependency-chained timing the scan
+spends ~100x the VPU roofline per step — per-step loop overhead, not
+compute, bounds it (the row update is only [B, 2W+1] int32 work).  This
+kernel runs the SAME recurrence as a ``pallas_call`` grid over
+(batch-tile, query-row): grid steps are hardware loop iterations, the
+band row lives in a VMEM scratch across steps, and each step writes one
+int8 pointer row for the (unchanged, XLA) traceback scan.
+
+Semantics are bit-identical to ``_dp_one`` by construction: identical
+score algebra (int32, NEG band-invalid cells), identical tie-breaking
+(diag ≥ up; strict ``left > cand`` preference), and the same
+exclusive-cummax realization of the in-row left-gap recurrence (a
+shift-max ladder here — max is associative, so the result is equal).
+Property-tested against the XLA path in tests/test_poa_pallas.py.
+
+Reference context: the reference builds abPOA but never calls it
+(SURVEY.md §2.14, /root/reference/.gitmodules:5-7); this DP is the
+framework-defined consensus kernel (BASELINE.json north star: "banded
+DP ... as the inner loop").
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .poa import GAP, MATCH, MISMATCH
+
+NEG = -(1 << 28)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _dp_rows_kernel(tbig_ref, q_ref, m_ref, band_ref, ptr_ref, row_ref,
+                    *, W: int, WP: int, N: int):
+    """One grid step: query row i = gi + 1 for batch tile bt.
+
+    tbig_ref: [Bt, TP] int8 (target padded with 5s, W+1 lead)
+    q_ref:    [Bt, NP] int8
+    m_ref, band_ref: [Bt, 1] int32
+    ptr_ref:  [1, Bt, WP] int8 output block (row i's pointers)
+    row_ref:  [Bt, WP] int32 scratch (band row, persists across rows)
+
+    Mosaic requires dynamic lane offsets to be 128-aligned, so the
+    per-row target window [i, i+WP) is read as an aligned wide load at
+    i0 = (i//128)*128 followed by a dynamic pltpu.roll — the sanctioned
+    unaligned-window idiom.  The wide-load width is a POWER OF TWO:
+    dynamic rolls over non-power-of-two lane counts (e.g. 384)
+    miscompute on real hardware (observed at W=64; 256/512 are fine).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    gi = pl.program_id(1)
+    i = gi + 1
+    karr = jax.lax.broadcasted_iota(jnp.int32, (1, WP), 1)
+    gapk = GAP * karr
+    m = m_ref[:, :]          # [Bt, 1]
+    band = band_ref[:, :]
+
+    @pl.when(gi == 0)
+    def _init():
+        # Row 0: score[0, j] = GAP*j for 0 <= j <= min(m, band).
+        j0 = karr - W
+        row_ref[:, :] = jnp.where(
+            (j0 >= 0) & (j0 <= jnp.minimum(m, band)), GAP * j0, NEG
+        ).astype(jnp.int32)
+
+    prev = row_ref[:, :]     # [Bt, WP]
+    j = i + karr - W         # [1, WP] broadcasts over Bt
+    # (roll is 32-bit-only on this Mosaic; widen the int8 bases first)
+    WPW = 128
+    while WPW < WP + 128:
+        WPW *= 2
+    i0 = pl.multiple_of((i // 128) * 128, 128)
+    wide = tbig_ref[:, pl.ds(i0, WPW)].astype(jnp.int32)
+    tb = pltpu.roll(wide, shift=-(i - i0), axis=1)[:, :WP]
+    q0 = pl.multiple_of(((i - 1) // 128) * 128, 128)
+    qwide = q_ref[:, pl.ds(q0, 128)].astype(jnp.int32)
+    qi = pltpu.roll(qwide, shift=-(i - 1 - q0), axis=1)[:, :1]
+    sub = jnp.where(tb == qi, MATCH, MISMATCH)
+    diag = prev + sub
+    up = jnp.concatenate(
+        [prev[:, 1:], jnp.full((prev.shape[0], 1), NEG, prev.dtype)], axis=1
+    ) + GAP
+    c = jnp.maximum(diag, up)
+    # pointers stay int32 in-kernel (int8 selects force an i1 relayout
+    # Mosaic rejects); the store narrows once at the end
+    pc = jnp.where(up > diag, jnp.int32(1), jnp.int32(0))  # tie → diag
+    validj = (j >= 1) & (j <= m) & (jnp.abs(j - i) <= band)
+    cand = jnp.where(validj, c, NEG)
+    bmask = (j == 0) & (i <= band)
+    cand = jnp.where(bmask, GAP * i, cand)
+    pcand = jnp.where(bmask, jnp.int32(1), pc)
+    # In-row left gaps: exclusive cummax of (cand - GAP*k) along the
+    # band, as a shift-max ladder (max is associative → equal to
+    # lax.cummax).
+    g = cand - gapk
+    d = 1
+    while d < WP:
+        shifted = jnp.concatenate(
+            [jnp.full((g.shape[0], d), NEG, g.dtype), g[:, :-d]], axis=1)
+        g = jnp.maximum(g, shifted)
+        d *= 2
+    pexc = jnp.concatenate(
+        [jnp.full((g.shape[0], 1), NEG, g.dtype), g[:, :-1]], axis=1)
+    left = pexc + gapk
+    use_left = validj & (left > cand)
+    row = jnp.where(use_left, left, cand)
+    prow = jnp.where(use_left, jnp.int32(2), pcand)
+    row = jnp.where(validj | bmask, row, NEG)
+    row_ref[:, :] = row
+    ptr_ref[0, :, :] = prow.astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("W", "N", "Bt", "interpret"))
+def dp_ptr_pallas(tbig, q, ms, bands, *, W: int, N: int, Bt: int = 256,
+                  interpret: bool = False):
+    """Pointer tensor [N, B, WP] int8 for the banded DP, Pallas path.
+
+    tbig: [B, TP] int8 — target padded as in _dp_one (W+1 lead of 5s)
+          AND tail-padded so i + WP never reads past TP (the XLA path
+          leans on dynamic_slice clamping; here the wrapper pads).
+    q:    [B, NP] int8, NP >= N.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = tbig.shape[0]
+    WP = _round_up(2 * W + 1, 128)
+    nbt = (B + Bt - 1) // Bt
+    assert B % Bt == 0 or nbt == 1, (B, Bt)
+    if nbt == 1:
+        Bt = B
+    grid = (nbt, N)
+    kernel = functools.partial(_dp_rows_kernel, W=W, WP=WP, N=N)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Bt, tbig.shape[1]), lambda bt, gi: (bt, 0)),
+            pl.BlockSpec((Bt, q.shape[1]), lambda bt, gi: (bt, 0)),
+            pl.BlockSpec((Bt, 1), lambda bt, gi: (bt, 0)),
+            pl.BlockSpec((Bt, 1), lambda bt, gi: (bt, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Bt, WP), lambda bt, gi: (gi, bt, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, B, WP), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((Bt, WP), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ) if not interpret else None,
+        interpret=interpret,
+    )(tbig, q, ms.reshape(B, 1), bands.reshape(B, 1))
+
+
+def _traceback_one(ptr_b, q, m, n, *, W: int, M: int, N: int,
+                   unroll: int = 8):
+    """XLA traceback over one pair's pointer rows (ptr_b: [N, WP] int8)
+    — the same walk as ops/poa_batch._dp_one's tb_step."""
+    def tb_step(carry, _):
+        i, j, cols, ins = carry
+        active = (i > 0) | (j > 0)
+        k = jnp.clip(j - i + W, 0, 2 * W)
+        p = ptr_b[jnp.maximum(i - 1, 0), k]
+        p = jnp.where(i == 0, jnp.int8(2), p)
+        p = jnp.where((j == 0) & (i > 0), jnp.int8(1), p)
+        dg = active & (i > 0) & (j > 0) & (p == 0)
+        up_ = active & ~dg & (i > 0) & (p == 1)
+        lf = active & ~dg & ~up_
+        idx = jnp.maximum(j - 1, 0)
+        val = jnp.where(dg, q[jnp.maximum(i - 1, 0)], cols[idx])
+        cols = cols.at[idx].set(val)
+        ins = ins.at[jnp.clip(j, 0, M)].add(up_.astype(jnp.int32))
+        i = i - (dg | up_).astype(i.dtype)
+        j = j - (dg | lf).astype(j.dtype)
+        return (i, j, cols, ins), None
+
+    cols0 = jnp.full((M,), -1, jnp.int8)
+    ins0 = jnp.zeros((M + 1,), jnp.int32)
+    (_, _, cols, ins), _ = jax.lax.scan(
+        tb_step, (n, m, cols0, ins0), None, length=N + M, unroll=unroll)
+    return cols, ins
+
+
+@functools.partial(jax.jit, static_argnames=("W", "interpret"))
+def dp_cols_batch_pallas(tpad, ms, qpad, ns, bands, *, W,
+                         interpret: bool = False):
+    """Drop-in for ops/poa_batch._dp_cols_batch (same inputs/outputs),
+    with the row scan in Pallas and the traceback in XLA."""
+    B, M = tpad.shape
+    N = qpad.shape[1]
+    WP = _round_up(2 * W + 1, 128)
+    # Target padded: W+1 lead of 5s (as _dp_one), then tail-padded so
+    # the kernel's aligned pow2-wide load [i0, i0 + WPW) at i <= N
+    # stays in bounds.
+    WPW = 128
+    while WPW < WP + 128:
+        WPW *= 2
+    TP = _round_up(max(M + 2 * W + 2, N + WPW + 1), 128)
+    tbig = jnp.full((B, TP), jnp.int8(5))
+    tbig = jax.lax.dynamic_update_slice(tbig, tpad, (0, W + 1))
+    # q padded so the aligned 128-wide load at q0 <= N-1 stays in
+    # bounds.
+    NPP = _round_up(N, 128) + 128
+    qbig = jnp.full((B, NPP), jnp.int8(5))
+    qbig = jax.lax.dynamic_update_slice(qbig, qpad, (0, 0))
+    ptr = dp_ptr_pallas(tbig, qbig, ms, bands, W=W, N=N,
+                        Bt=min(B, 256), interpret=interpret)
+    # ptr: [N, B, WP] → traceback per pair (vmap over axis 1).
+    cols, ins = jax.vmap(
+        functools.partial(_traceback_one, W=W, M=M, N=N),
+        in_axes=(1, 0, 0, 0),
+    )(ptr, qpad, ms, ns)
+    return cols, ins

@@ -1,0 +1,86 @@
+"""Pallas banded-DP row scan ≡ the XLA lax.scan formulation, bitwise.
+
+The Pallas kernel (ops/poa_pallas.py) must reproduce ops/poa_batch's
+_dp_cols_batch exactly — same scores, same tie-breaking, same pointer
+rows — across randomized pair batches, length spreads, and band widths.
+Runs in interpret mode on the CPU backend (tests force JAX_PLATFORMS=
+cpu); the real-hardware path compiles the same kernel.
+"""
+import numpy as np
+import pytest
+
+from svtrek_tpu.ops.poa import banded_align_ins, encode
+from svtrek_tpu.ops.poa_batch import _dp_cols_batch, _pow2
+from svtrek_tpu.ops.poa_pallas import dp_cols_batch_pallas
+
+BASES = "ACGT"
+
+
+def _mutate(rng, seq, sub, ins, dele):
+    out = []
+    for c in seq:
+        r = rng.random()
+        if r < dele:
+            continue
+        out.append(BASES[rng.integers(4)] if r < dele + sub else c)
+        if rng.random() < ins:
+            out.append(BASES[rng.integers(4)])
+    return "".join(out)
+
+
+def _build(rng, B, M, band, sub=0.08, ins=0.04, dele=0.04, jitter=40):
+    targets, queries = [], []
+    for _ in range(B):
+        t = "".join(BASES[i]
+                    for i in rng.integers(0, 4,
+                                          M + int(rng.integers(0, jitter))))
+        targets.append(encode(t))
+        queries.append(encode(_mutate(rng, t, sub, ins, dele)))
+    Mp = _pow2(max(map(len, targets)), 16)
+    Np = _pow2(max(map(len, queries)), 16)
+    bands = np.array([max(band, abs(len(q) - len(t)) + 1)
+                      for t, q in zip(targets, queries)], np.int32)
+    W = _pow2(int(bands.max()), 16)
+    tpad = np.full((B, Mp), 5, np.int8)
+    qpad = np.full((B, Np), 5, np.int8)
+    ms = np.array([len(t) for t in targets], np.int32)
+    ns = np.array([len(q) for q in queries], np.int32)
+    for i in range(B):
+        tpad[i, : ms[i]] = targets[i]
+        qpad[i, : ns[i]] = queries[i]
+    return tpad, ms, qpad, ns, bands, W, targets, queries
+
+
+@pytest.mark.parametrize("seed,B,M,band", [
+    (1, 8, 200, 16),
+    (2, 5, 60, 8),       # short targets, narrow band
+    (3, 16, 300, 32),    # band bucket 32
+    (4, 4, 500, 64),     # W = 64 storage
+])
+def test_pallas_matches_xla(seed, B, M, band):
+    rng = np.random.default_rng(seed)
+    tpad, ms, qpad, ns, bands, W, _, _ = _build(rng, B, M, band)
+    cols_x, ins_x = (np.asarray(x) for x in _dp_cols_batch(
+        tpad, ms, qpad, ns, bands, W=W))
+    cols_p, ins_p = (np.asarray(x) for x in dp_cols_batch_pallas(
+        tpad, ms, qpad, ns, bands, W=W, interpret=True))
+    assert np.array_equal(cols_x, cols_p)
+    assert np.array_equal(ins_x, ins_p)
+
+
+def test_pallas_matches_scalar_anchor():
+    """Straight to the scalar semantic anchor (banded_align_ins) for a
+    handful of pairs, including the N-much-longer-than-M regime where
+    the slice clamping/padding differs between the two device paths."""
+    rng = np.random.default_rng(9)
+    tpad, ms, qpad, ns, bands, W, targets, queries = _build(
+        rng, 6, 120, 16, sub=0.15, ins=0.20, dele=0.02, jitter=10)
+    cols_p, ins_p = (np.asarray(x) for x in dp_cols_batch_pallas(
+        tpad, ms, qpad, ns, bands, W=W, interpret=True))
+    for i in range(len(targets)):
+        cols_s, ins_s = banded_align_ins(targets[i], queries[i],
+                                         int(bands[i]))
+        assert np.array_equal(cols_p[i, : ms[i]], cols_s), i
+        # device path carries per-boundary COUNTS; the scalar anchor
+        # carries the segments themselves
+        assert [len(seg) for seg in ins_s] == list(ins_p[i, : ms[i] + 1]), i
