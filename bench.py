@@ -127,15 +127,18 @@ UNREACHABLE = -987654321  # never a refine result or DP count
 
 def _chained_seconds_per_call(make_chained, lo: int = 4, hi: int = 12):
     """Defensible per-call device time: run the body S times inside ONE
-    compiled lax.scan whose carry depends on each iteration's output
+    compiled loop whose carry depends on each iteration's output
     (a compare against an unreachable constant — zero in practice, but
     the compiler cannot prove it, so nothing hoists), with a consumed
-    per-iteration reduction in the scan outputs.  Time S=lo and S=hi and
-    take the slope — constant dispatch/transfer overhead cancels, and a
-    backend that memoizes repeated identical executions (observed on the
-    tunneled accelerator: async-dispatch loops of identical calls
-    returned ~4000x faster than one real execution, tools/
-    poa_timing_check.py) cannot fake a slope.  Returns
+    reduction in the outputs.  Time S=lo and S=hi and take the slope —
+    constant dispatch/transfer overhead cancels, and a backend that
+    memoizes repeated identical executions (observed on the tunneled
+    accelerator: async-dispatch loops of identical calls returned
+    ~4000x faster than one real execution, tools/poa_timing_check.py)
+    cannot fake a slope.  ``make_chained(iters)`` may accept iters as a
+    RUNTIME value (chain via fori_loop) so both chain lengths share one
+    compiled program — remote compiles on this backend ignore the
+    persistent cache and can cost minutes each.  Returns
     (sec_per_call, linearity) where linearity = t_hi / t_lo; ~hi/lo
     means clean scaling, ~1.0 means the measurement is NOT trustworthy
     (memoized/elided) and the caller should flag it."""
@@ -187,21 +190,23 @@ def bench_device(work):
     refined = run()  # compile + warmup (also the parity-check output)
     refined.block_until_ready()
 
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def chained(*a, iters):
+    @jax.jit
+    def chained(iters, *a):
         o, l, p, no, w, kd, s, e, ip = a
 
-        def body(ip_c, _):
+        def body(_, carry):
+            ip_c, acc = carry
             r, c, ovf = audit_refine_step(o, l, p, no, w, kd, s, e, ip_c,
                                           num_windows=B, K=K)
             dep = (r[:1] == jnp.int32(UNREACHABLE)).astype(jnp.int32)
-            return ip_c + dep, r.astype(jnp.int64).sum() + c.sum()
+            return ip_c + dep, acc + r.astype(jnp.int64).sum() + c.sum()
 
-        _, sums = jax.lax.scan(body, ip, None, length=iters)
-        return sums
+        _, acc = jax.lax.fori_loop(0, iters, body,
+                                   (ip, jnp.int64(0)))
+        return acc
 
     per_call, linearity = _chained_seconds_per_call(
-        lambda iters: (lambda: chained(*args, iters=iters)))
+        lambda iters: (lambda: chained(iters, *args)))
     return B / per_call, np.asarray(refined), linearity
 
 
@@ -532,8 +537,8 @@ def bench_poa():
     from svtrek_tpu.ops.poa_batch import _dp_one
 
     def make_chained(use_pallas):
-        @functools.partial(jax.jit, static_argnames=("iters",))
-        def chained(tpad, ms, qpad, ns, bands, *, iters):
+        @jax.jit
+        def chained(iters, tpad, ms, qpad, ns, bands):
             def dp(tp):
                 if use_pallas:
                     from svtrek_tpu.ops.poa_pallas import (
@@ -545,13 +550,16 @@ def bench_poa():
                 return jax.vmap(functools.partial(_dp_one, W=W))(
                     tp, ms, qpad, ns, bands)
 
-            def body(tp, _):
+            def body(_, carry):
+                tp, acc = carry
                 cols, ins = dp(tp)
                 dep = (ins[:, :1] == jnp.int32(UNREACHABLE)).astype(jnp.int8)
-                return tp + dep, cols.astype(jnp.int32).sum() + ins.sum()
+                return tp + dep, acc + cols.astype(jnp.int32).sum() \
+                    + ins.sum()
 
-            _, sums = jax.lax.scan(body, tpad, None, length=iters)
-            return sums
+            _, acc = jax.lax.fori_loop(0, iters, body,
+                                       (tpad, jnp.int32(0)))
+            return acc
         return chained
 
     use_pallas = jax.default_backend() != "cpu"
@@ -559,7 +567,7 @@ def bench_poa():
     try:
         chained = make_chained(use_pallas)
         dt, linearity = _chained_seconds_per_call(
-            lambda iters: (lambda: chained(*args, iters=iters)))
+            lambda iters: (lambda: chained(iters, *args)))
     except Exception as e:
         if not use_pallas:
             raise
@@ -568,7 +576,7 @@ def bench_poa():
         impl = "xla-scan"
         chained = make_chained(False)
         dt, linearity = _chained_seconds_per_call(
-            lambda iters: (lambda: chained(*args, iters=iters)))
+            lambda iters: (lambda: chained(iters, *args)))
 
     eff_cells = int((ns.astype(np.int64) * (2 * bands + 1)).sum())
     rate = eff_cells / dt
@@ -831,28 +839,30 @@ def bench_scaling():
     import jax.numpy as jnp
 
     def chain_of(step_fn):
-        @functools.partial(jax.jit, static_argnames=("iters",))
-        def chained(*a, iters):
+        @jax.jit
+        def chained(iters, *a):
             o, l, p, no, w, kd, s, e, ip = a
 
-            def body(ip_c, _):
+            def body(_, carry):
+                ip_c, acc = carry
                 r, c, ovf = step_fn(o, l, p, no, w, kd, s, e, ip_c)
                 dep = (r[:1] == jnp.int32(UNREACHABLE)).astype(jnp.int32)
-                return ip_c + dep, r.astype(jnp.int64).sum()
+                return ip_c + dep, acc + r.astype(jnp.int64).sum()
 
-            _, sums = jax.lax.scan(body, ip, None, length=iters)
-            return sums
+            _, acc = jax.lax.fori_loop(0, iters, body,
+                                       (ip, jnp.int64(0)))
+            return acc
         return chained
 
     chain_plain = chain_of(functools.partial(
         audit_refine_step, num_windows=2048, K=K))
     t_plain, _ = _chained_seconds_per_call(
-        lambda iters: (lambda: chain_plain(*args, iters=iters)))
+        lambda iters: (lambda: chain_plain(iters, *args)))
     mesh = make_mesh(jax.devices()[:1])
     step = sharded_audit_step(mesh, num_windows=2048, K=K)
     chain_shard = chain_of(step)
     t_shard, _ = _chained_seconds_per_call(
-        lambda iters: (lambda: chain_shard(*args, iters=iters)))
+        lambda iters: (lambda: chain_shard(iters, *args)))
 
     return {
         "metric": "scaling_efficiency",
@@ -909,10 +919,12 @@ def main():
                "bench_ins_consensus", "bench_scaling"):
         try:
             # Scaling spawns its own pinned-core subprocesses and (cold
-            # compile cache) ~10 fresh XLA-CPU compiles — it gets a
-            # bigger budget than the single-program stages.
-            extra.append(_run_isolated(
-                fn, timeout=1100 if fn == "bench_scaling" else 560))
+            # compile cache) ~10 fresh XLA-CPU compiles; the POA stage's
+            # Pallas kernel pays a multi-minute remote Mosaic compile
+            # (the axon backend ignores the persistent compile cache).
+            # Both get bigger budgets than the single-program stages.
+            budget = {"bench_scaling": 1100, "bench_poa": 1500}
+            extra.append(_run_isolated(fn, timeout=budget.get(fn, 560)))
         except Exception as e:  # keep the headline alive on partial failure
             print(f"[bench] WARNING: {fn} failed: {e}", file=sys.stderr)
     result["extra"] = extra

@@ -161,32 +161,145 @@ def dp_ptr_pallas(tbig, q, ms, bands, *, W: int, N: int, Bt: int = 256,
     )(tbig, q, ms.reshape(B, 1), bands.reshape(B, 1))
 
 
-def _traceback_one(ptr_b, q, m, n, *, W: int, M: int, N: int,
-                   unroll: int = 8):
-    """XLA traceback over one pair's pointer rows (ptr_b: [N, WP] int8)
-    — the same walk as ops/poa_batch._dp_one's tb_step."""
-    def tb_step(carry, _):
+def _tb_kernel(ptr_ref, m_ref, n_ref, cols_ref, ins_ref,
+               *, W: int, WP: int, MP: int, MP2: int, N: int):
+    """Pallas traceback: one grid step walks one pair's full path.
+
+    The XLA traceback scan pays a gather + two scatters per step
+    (~30x the cost of the whole Pallas DP on hardware).  Here every
+    per-step value is extracted/stored with masked VECTOR ops — no
+    scalar memory access, no scatter: the pointer is a masked reduce of
+    the current row, cols/ins live in vector registers across the walk
+    and are written once at the end.  cols holds the aligned QUERY
+    INDEX per target column (-1 = gap); the caller resolves indices to
+    bases with one vectorized take outside the kernel.
+
+    ptr_ref: [1, N, WP] int32 (pair's pointer rows)
+    m_ref/n_ref: [1, 1, 1] int32
+    cols_ref: [1, 1, MP] int32 out; ins_ref: [1, 1, MP2] int32 out
+    """
+    from jax.experimental import pallas as pl
+
+    m = m_ref[0, 0, 0]
+    n = n_ref[0, 0, 0]
+    kio = jax.lax.broadcasted_iota(jnp.int32, (1, WP), 1)
+    mio = jax.lax.broadcasted_iota(jnp.int32, (1, MP), 1)
+    m2io = jax.lax.broadcasted_iota(jnp.int32, (1, MP2), 1)
+
+    def body(_, carry):
         i, j, cols, ins = carry
         active = (i > 0) | (j > 0)
         k = jnp.clip(j - i + W, 0, 2 * W)
-        p = ptr_b[jnp.maximum(i - 1, 0), k]
+        row = ptr_ref[0, pl.ds(jnp.maximum(i - 1, 0), 1), :]  # [1, WP]
+        p = jnp.sum(jnp.where(kio == k, row, 0))
+        p = jnp.where(i == 0, 2, p)
+        p = jnp.where((j == 0) & (i > 0), 1, p)
+        dg = active & (i > 0) & (j > 0) & (p == 0)
+        up_ = active & (~dg) & (i > 0) & (p == 1)
+        lf = active & (~dg) & (~up_)
+        idx = jnp.maximum(j - 1, 0)
+        cols = jnp.where((mio == idx) & dg, i - 1, cols)
+        # j <= m always on the walk, so clipping to the static M bound
+        # is identical to the XLA path's clip(j, 0, M)
+        ins = ins + jnp.where((m2io == jnp.clip(j, 0, MP2 - 1)) & up_, 1, 0)
+        i = i - (dg | up_).astype(jnp.int32)
+        j = j - (dg | lf).astype(jnp.int32)
+        return (i, j, cols, ins)
+
+    cols0 = jnp.full((1, MP), -1, jnp.int32)
+    ins0 = jnp.zeros((1, MP2), jnp.int32)
+    _, _, cols, ins = jax.lax.fori_loop(
+        0, N + int(MP), body, (n, m, cols0, ins0))
+    cols_ref[0, :, :] = cols
+    ins_ref[0, :, :] = ins
+
+
+@functools.partial(jax.jit, static_argnames=("W", "M", "interpret"))
+def tb_batch_pallas(ptr, qpad, ms, ns, *, W: int, M: int,
+                    interpret: bool = False):
+    """Batched traceback over the DP pointer tensor, Pallas path.
+
+    ptr: [N, B, WP] int8 (dp_ptr_pallas output).  Returns
+    (cols [B, M] int8 query bases, ins [B, M+1] int32 counts) —
+    identical to the XLA _traceback_one path."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, B, WP = ptr.shape
+    MP = _round_up(M, 128)
+    MP2 = _round_up(M + 2, 128)
+    # [B, N, WP] int32: per-pair rows contiguous; int32 avoids a per-
+    # step int8 relayout in the walk loop.
+    ptr32 = jnp.transpose(ptr, (1, 0, 2)).astype(jnp.int32)
+    kernel = functools.partial(_tb_kernel, W=W, WP=WP, MP=MP, MP2=MP2, N=N)
+    cols_i, ins_p = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, WP), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, MP), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, MP2), lambda b: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, MP), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, MP2), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ) if not interpret else None,
+        interpret=interpret,
+    )(ptr32, ms.reshape(B, 1, 1), ns.reshape(B, 1, 1))
+    cols_i = cols_i[:, 0, :]
+    ins_p = ins_p[:, 0, :]
+    # Resolve query indices to bases (one gather), clip padding.
+    qi = jnp.clip(cols_i[:, :M], 0, qpad.shape[1] - 1)
+    bases = jnp.take_along_axis(qpad, qi, axis=1)
+    cols = jnp.where(cols_i[:, :M] >= 0, bases, jnp.int8(-1)).astype(jnp.int8)
+    return cols, ins_p[:, : M + 1]
+
+
+def _traceback_one(ptr_b, q, m, n, *, W: int, M: int, N: int,
+                   unroll: int = 8):
+    """XLA traceback over one pair's pointer rows (ptr_b: [N, WP] int8)
+    — same semantics as ops/poa_batch._dp_one's tb_step, restructured
+    SCATTER-FREE: the sequential walk only updates (i, j) and emits one
+    (col, qidx, ins-bucket) record per step as scan outputs; the cols
+    and ins arrays are built afterwards with ONE vectorized scatter
+    each.  The original in-loop `.at[].set/.add` pair cost ~30x the
+    whole Pallas DP per call on hardware; a record emit is free.  Each
+    real target column is written by at most one step (the walk visits
+    each (i,j) once), so the post-hoc scatter is conflict-free; masked
+    steps dump into a trailing slot that is sliced away."""
+    WP = ptr_b.shape[1]
+    ptr_flat = ptr_b.reshape(-1)  # 1D gather lowers cheaper than 2D
+
+    def tb_step(carry, _):
+        i, j = carry
+        active = (i > 0) | (j > 0)
+        k = jnp.clip(j - i + W, 0, 2 * W)
+        p = ptr_flat[jnp.maximum(i - 1, 0) * WP + k]
         p = jnp.where(i == 0, jnp.int8(2), p)
         p = jnp.where((j == 0) & (i > 0), jnp.int8(1), p)
         dg = active & (i > 0) & (j > 0) & (p == 0)
         up_ = active & ~dg & (i > 0) & (p == 1)
         lf = active & ~dg & ~up_
-        idx = jnp.maximum(j - 1, 0)
-        val = jnp.where(dg, q[jnp.maximum(i - 1, 0)], cols[idx])
-        cols = cols.at[idx].set(val)
-        ins = ins.at[jnp.clip(j, 0, M)].add(up_.astype(jnp.int32))
+        rec_col = jnp.where(dg, j - 1, M)            # M = dump slot
+        rec_qi = jnp.where(dg, i - 1, 0)
+        rec_ins = jnp.where(up_, jnp.clip(j, 0, M), M + 1)
         i = i - (dg | up_).astype(i.dtype)
         j = j - (dg | lf).astype(j.dtype)
-        return (i, j, cols, ins), None
+        return (i, j), (rec_col, rec_qi, rec_ins)
 
-    cols0 = jnp.full((M,), -1, jnp.int8)
-    ins0 = jnp.zeros((M + 1,), jnp.int32)
-    (_, _, cols, ins), _ = jax.lax.scan(
-        tb_step, (n, m, cols0, ins0), None, length=N + M, unroll=unroll)
+    (_, _), (rc, rqi, ri) = jax.lax.scan(
+        tb_step, (n, m), None, length=N + M, unroll=unroll)
+    cols_idx = jnp.full((M + 1,), -1, jnp.int32).at[rc].set(rqi)[:M]
+    qv = q[jnp.clip(cols_idx, 0, q.shape[0] - 1)]
+    cols = jnp.where(cols_idx >= 0, qv, jnp.int8(-1)).astype(jnp.int8)
+    ins = jnp.zeros((M + 2,), jnp.int32).at[ri].add(1)[: M + 1]
     return cols, ins
 
 
@@ -214,7 +327,11 @@ def dp_cols_batch_pallas(tpad, ms, qpad, ns, bands, *, W,
     qbig = jax.lax.dynamic_update_slice(qbig, qpad, (0, 0))
     ptr = dp_ptr_pallas(tbig, qbig, ms, bands, W=W, N=N,
                         Bt=min(B, 256), interpret=interpret)
-    # ptr: [N, B, WP] → traceback per pair (vmap over axis 1).
+    # ptr: [N, B, WP] → scatter-free XLA traceback (vmap over axis 1).
+    # NOTE: tb_batch_pallas (the all-Pallas walk) exists but is NOT the
+    # default — its compile reproducibly wedges this environment's
+    # remote Mosaic compile service; the record-emit XLA walk below
+    # removes the dominant per-step scatters without that hazard.
     cols, ins = jax.vmap(
         functools.partial(_traceback_one, W=W, M=M, N=N),
         in_axes=(1, 0, 0, 0),
