@@ -153,15 +153,23 @@ def _dp_cols_batch(tpad, ms, qpad, ns, bands, *, W, unroll=UNROLL):
 _PALLAS_BROKEN = False
 
 
+PALLAS_MIN_WORK = 128 * 1024  # B x N below which the XLA scan wins
+
+
 def dp_cols_dispatch(tpad, ms, qpad, ns, bands, *, W):
     """Production DP entry: the Pallas row-scan kernel on real
     accelerators (grid steps are hardware loop iterations — the XLA
     lax.scan pays ~100x roofline per step in loop overhead), the XLA
     scan on the CPU backend (Pallas interpret mode there is far slower
-    than compiled XLA).  Bit-identical either way
+    than compiled XLA) and for SMALL batches: a Pallas variant costs a
+    fresh Mosaic kernel compile per shape bucket, which a handful of
+    short inserts (the typical --ins-consensus / disc-cluster batch)
+    never amortizes — the crossover is controlled by PALLAS_MIN_WORK
+    in B x N cells.  Bit-identical either way
     (tests/test_poa_pallas.py)."""
     global _PALLAS_BROKEN
-    if not _PALLAS_BROKEN and jax.default_backend() != "cpu":
+    if (not _PALLAS_BROKEN and jax.default_backend() != "cpu"
+            and tpad.shape[0] * qpad.shape[1] >= PALLAS_MIN_WORK):
         try:
             from .poa_pallas import dp_cols_batch_pallas
 
