@@ -32,7 +32,10 @@ def iter_fastq(path: str, names=None) -> Iterator[tuple[str, str]]:
             name = (hdr[1:].split(None, 1)[0].decode()
                     if len(hdr) > 1 else "")
             if names is None or name in names:
-                yield name, pend[i + 1].decode()
+                # CRLF input: splitting on b'\n' alone leaves a '\r' on
+                # every line; the header's whitespace split already drops
+                # it, the sequence needs an explicit strip (ADVICE r4).
+                yield name, pend[i + 1].rstrip(b"\r").decode()
         del pend[:n4]
 
     with opener(path, "rb") as fh:

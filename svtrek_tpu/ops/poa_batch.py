@@ -150,7 +150,14 @@ def _dp_cols_batch(tpad, ms, qpad, ns, bands, *, W, unroll=UNROLL):
         tpad, ms, qpad, ns, bands)
 
 
+# One-way latch for LOWERING/COMPILE failures only (a backend that
+# cannot build the Mosaic kernel at all); shape-specific failures are
+# memoized per shape bucket instead so one odd batch cannot silently
+# revert every later batch to the slow path (ADVICE r4).  Both are
+# plain attribute writes — atomic under the GIL; a racing duplicate
+# fallback is benign (same result, one extra stderr line).
 _PALLAS_BROKEN = False
+_PALLAS_BAD_SHAPES: set = set()
 
 
 PALLAS_MIN_WORK = 128 * 1024  # B x N below which the XLA scan wins
@@ -168,18 +175,23 @@ def dp_cols_dispatch(tpad, ms, qpad, ns, bands, *, W):
     in B x N cells.  Bit-identical either way
     (tests/test_poa_pallas.py)."""
     global _PALLAS_BROKEN
-    if (not _PALLAS_BROKEN and jax.default_backend() != "cpu"
+    shape_key = (tpad.shape, qpad.shape, W)
+    if (not _PALLAS_BROKEN and shape_key not in _PALLAS_BAD_SHAPES
+            and jax.default_backend() != "cpu"
             and tpad.shape[0] * qpad.shape[1] >= PALLAS_MIN_WORK):
         try:
             from .poa_pallas import dp_cols_batch_pallas
 
             return dp_cols_batch_pallas(tpad, ms, qpad, ns, bands, W=W)
-        except Exception as e:  # lowering unsupported → XLA fallback
+        except Exception as e:
             import sys
 
             print(f"[poa] pallas path unavailable ({e.__class__.__name__}:"
                   f" {e}); using XLA scan", file=sys.stderr)
-            _PALLAS_BROKEN = True
+            if isinstance(e, (AssertionError, ValueError, TypeError)):
+                _PALLAS_BAD_SHAPES.add(shape_key)  # shape-specific
+            else:  # lowering/compile failure → whole backend unusable
+                _PALLAS_BROKEN = True
     return _dp_cols_batch(tpad, ms, qpad, ns, bands, W=W)
 
 

@@ -308,7 +308,21 @@ def dp_cols_batch_pallas(tpad, ms, qpad, ns, bands, *, W,
                          interpret: bool = False):
     """Drop-in for ops/poa_batch._dp_cols_batch (same inputs/outputs),
     with the row scan in Pallas and the traceback in XLA."""
-    B, M = tpad.shape
+    B0, M = tpad.shape
+    # The DP grid tiles the batch by Bt=256; pad arbitrary batch sizes
+    # up to a tile multiple with zero-length pairs (m=n=0 rows cost one
+    # all-masked lane block) and slice the outputs back (ADVICE r4: an
+    # unpadded B=300 tripped the kernel's divisibility assert at trace
+    # time and latched the whole process onto the slow path).
+    Bt = 256
+    B = B0 if B0 <= Bt else _round_up(B0, Bt)
+    if B != B0:
+        pad = B - B0
+        tpad = jnp.pad(tpad, ((0, pad), (0, 0)), constant_values=5)
+        qpad = jnp.pad(qpad, ((0, pad), (0, 0)), constant_values=5)
+        ms = jnp.pad(ms, (0, pad))
+        ns = jnp.pad(ns, (0, pad))
+        bands = jnp.pad(bands, (0, pad))
     N = qpad.shape[1]
     WP = _round_up(2 * W + 1, 128)
     # Target padded: W+1 lead of 5s (as _dp_one), then tail-padded so
@@ -336,4 +350,4 @@ def dp_cols_batch_pallas(tpad, ms, qpad, ns, bands, *, W,
         functools.partial(_traceback_one, W=W, M=M, N=N),
         in_axes=(1, 0, 0, 0),
     )(ptr, qpad, ms, ns)
-    return cols, ins
+    return cols[:B0], ins[:B0]

@@ -204,7 +204,9 @@ def run_scan_tiles_native(
 
     n_workers = max(1, min(cfg.thread_number, len(chunks)))
     if n_workers > 1 and make_reader is not None:
+        import itertools
         import threading
+        from collections import deque as _deque
         from concurrent.futures import ThreadPoolExecutor
 
         tls = threading.local()
@@ -215,7 +217,23 @@ def run_scan_tiles_native(
             return host_stage(chunk, tls.rd)
 
         ex = ThreadPoolExecutor(n_workers, thread_name_prefix="svtrek-scan")
-        staged = ex.map(work, (c for _, c in chunks))
+
+        def bounded_map(fn, items, window):
+            """ex.map, but with at most `window` futures outstanding —
+            ex.map submits every chunk eagerly, so completed host-stage
+            results (locs [n,K] arrays + overflow reads) would buffer
+            unboundedly if the device consumer lags (ADVICE r4)."""
+            it = iter(items)
+            pending = _deque(ex.submit(fn, c)
+                             for c in itertools.islice(it, window))
+            while pending:
+                fut = pending.popleft()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(ex.submit(fn, nxt))
+                yield fut.result()
+
+        staged = bounded_map(work, (c for _, c in chunks), n_workers + 2)
     else:
         ex = None
         staged = (host_stage(c, reader) for _, c in chunks)

@@ -78,3 +78,13 @@ def test_iter_fastq_empty_and_truncated(tmp_path):
 
 def test_reverse_complement():
     assert reverse_complement("ACGTN") == "NACGT"
+
+
+def test_iter_fastq_crlf(tmp_path):
+    """CRLF files must not leak '\r' into sequences (ADVICE r4: the
+    binary chunk reader splits on b'\n' only)."""
+    p = str(tmp_path / "crlf.fq")
+    with open(p, "wb") as fh:
+        fh.write(b"@r1 desc\r\nACGT\r\n+\r\nIIII\r\n@r2\r\nTTAA\r\n+\r\nIIII\r\n")
+    assert list(iter_fastq(p)) == [("r1", "ACGT"), ("r2", "TTAA")]
+    assert list(iter_fastq(p, names={"r2"})) == [("r2", "TTAA")]

@@ -68,6 +68,62 @@ def test_pallas_matches_xla(seed, B, M, band):
     assert np.array_equal(ins_x, ins_p)
 
 
+def test_pallas_arbitrary_batch_size_pads():
+    """B=300 (not a multiple of the 256 batch tile) must pad + slice,
+    not trip the kernel's divisibility assert (ADVICE r4 medium): the
+    assert fired at trace time and latched the process-wide fallback."""
+    rng = np.random.default_rng(7)
+    tpad, ms, qpad, ns, bands, W, _, _ = _build(rng, 300, 30, 8,
+                                                jitter=4)
+    cols_x, ins_x = (np.asarray(x) for x in _dp_cols_batch(
+        tpad, ms, qpad, ns, bands, W=W))
+    cols_p, ins_p = (np.asarray(x) for x in dp_cols_batch_pallas(
+        tpad, ms, qpad, ns, bands, W=W, interpret=True))
+    assert cols_p.shape == cols_x.shape == (300, tpad.shape[1])
+    assert np.array_equal(cols_x, cols_p)
+    assert np.array_equal(ins_x, ins_p)
+
+
+def test_dispatch_latch_scoping(monkeypatch):
+    """Shape-specific failures must memoize per shape, not latch the
+    process-wide _PALLAS_BROKEN flag (ADVICE r4): a later valid shape
+    should still try the Pallas path."""
+    from svtrek_tpu.ops import poa_batch
+
+    monkeypatch.setattr(poa_batch, "_PALLAS_BROKEN", False)
+    monkeypatch.setattr(poa_batch, "_PALLAS_BAD_SHAPES", set())
+    monkeypatch.setattr(poa_batch.jax, "default_backend", lambda: "tpu")
+    calls = []
+
+    def fake_pallas(tpad, ms, qpad, ns, bands, W):
+        calls.append(tpad.shape)
+        if tpad.shape[0] == 300:
+            raise AssertionError("shape-specific")
+        raise RuntimeError("Mosaic lowering failed")
+
+    import svtrek_tpu.ops.poa_pallas as pp
+
+    monkeypatch.setattr(pp, "dp_cols_batch_pallas", fake_pallas)
+    # Stub the XLA fallback too — this test only checks dispatch.
+    monkeypatch.setattr(poa_batch, "_dp_cols_batch",
+                        lambda *a, **k: (None, None))
+    rng = np.random.default_rng(3)
+    a300 = _build(rng, 300, 20, 8, jitter=2)
+    a8 = _build(rng, 8, 20, 8, jitter=2)
+    big_q = np.full((300, 1024), 5, np.int8)  # pass the MIN_WORK gate
+    big_q[:, :a300[2].shape[1]] = a300[2]
+    poa_batch.dp_cols_dispatch(a300[0], a300[1], big_q, a300[3],
+                               a300[4], W=a300[5])
+    assert not poa_batch._PALLAS_BROKEN          # shape-memoized only
+    assert len(poa_batch._PALLAS_BAD_SHAPES) == 1
+    big_q8 = np.full((8, 131072), 5, np.int8)
+    big_q8[:, :a8[2].shape[1]] = a8[2]
+    poa_batch.dp_cols_dispatch(a8[0], a8[1], big_q8, a8[3], a8[4],
+                               W=a8[5])
+    assert len(calls) == 2                       # second shape still tried
+    assert poa_batch._PALLAS_BROKEN              # RuntimeError → latched
+
+
 def test_pallas_matches_scalar_anchor():
     """Straight to the scalar semantic anchor (banded_align_ins) for a
     handful of pairs, including the N-much-longer-than-M regime where
