@@ -161,65 +161,95 @@ def dp_ptr_pallas(tbig, q, ms, bands, *, W: int, N: int, Bt: int = 256,
     )(tbig, q, ms.reshape(B, 1), bands.reshape(B, 1))
 
 
-def _tb_kernel(ptr_ref, m_ref, n_ref, cols_ref, ins_ref,
-               *, W: int, WP: int, MP: int, MP2: int, N: int):
-    """Pallas traceback: one grid step walks one pair's full path.
+def _tb_rows_kernel(ptr_ref, m_ref, n_ref, cols_ref, ins_ref, k_ref,
+                    *, W: int, WP: int, MP: int, MP2: int, N: int):
+    """Pallas traceback, reverse-ROW-sweep formulation: one grid step
+    processes query row i = N - gi for a whole batch tile at once.
 
-    The XLA traceback scan pays a gather + two scatters per step
-    (~30x the cost of the whole Pallas DP on hardware).  Here every
-    per-step value is extracted/stored with masked VECTOR ops — no
-    scalar memory access, no scatter: the pointer is a masked reduce of
-    the current row, cols/ins live in vector registers across the walk
-    and are written once at the end.  cols holds the aligned QUERY
-    INDEX per target column (-1 = gap); the caller resolves indices to
-    bases with one vectorized take outside the kernel.
+    The naive walk is N+M sequential steps PER PAIR (a first attempt
+    that walked one pair per grid step serialized B×(N+M) tiny steps
+    and its compile wedged this environment's remote Mosaic service —
+    round 4).  Key identity: collapsing each row's left-gap RUN into
+    one jump, every pair descends exactly one query row per super-step
+    (both diag and up decrement i), so all pairs advance in lock-step
+    through the SAME row index and the batch stays vectorized across
+    sublanes:
 
-    ptr_ref: [1, N, WP] int32 (pair's pointer rows)
-    m_ref/n_ref: [1, 1, 1] int32
-    cols_ref: [1, 1, MP] int32 out; ins_ref: [1, 1, MP2] int32 out
+      eff[k]  = 1 if j(k) == 0 else ptr_row[k]      (forced-up rule)
+      k*      = last k' <= k with eff[k'] != 2       (left-run collapse,
+                exclusive-cummax as a shift-max ladder, like the DP)
+      p* == 0 → cols[j*-1] = i-1, k stays (diag);  p* == 1 → ins[j*] += 1,
+                k += 1 (up).
+
+    Left moves emit nothing (cols init -1, ins 0) and row 0 is all left
+    moves, so the sweep stops after row 1 — nothing to post-process.
+    cols holds the aligned QUERY INDEX per target column (-1 = gap);
+    the caller resolves indices to bases with one take outside.
+    Semantics are bit-identical to _traceback_one by construction
+    (property-tested in tests/test_poa_pallas.py).
+
+    ptr_ref: [1, Bt, WP] int8 (pointer rows for query row i at grid
+    index N-1-gi); m/n_ref: [Bt, 1] int32; cols_ref [Bt, MP] /
+    ins_ref [Bt, MP2] int32 outputs double as the across-rows
+    accumulators (their block index is grid-invariant, so they live in
+    VMEM for the whole sweep); k_ref: [Bt, 128] int32 scratch, col 0
+    carries each pair's band coordinate k = j - i + W.
     """
     from jax.experimental import pallas as pl
 
-    m = m_ref[0, 0, 0]
-    n = n_ref[0, 0, 0]
-    kio = jax.lax.broadcasted_iota(jnp.int32, (1, WP), 1)
+    gi = pl.program_id(1)
+    i = N - gi
+    karr = jax.lax.broadcasted_iota(jnp.int32, (1, WP), 1)
     mio = jax.lax.broadcasted_iota(jnp.int32, (1, MP), 1)
     m2io = jax.lax.broadcasted_iota(jnp.int32, (1, MP2), 1)
+    m = m_ref[:, :]                      # [Bt, 1]
+    n = n_ref[:, :]
 
-    def body(_, carry):
-        i, j, cols, ins = carry
-        active = (i > 0) | (j > 0)
-        k = jnp.clip(j - i + W, 0, 2 * W)
-        row = ptr_ref[0, pl.ds(jnp.maximum(i - 1, 0), 1), :]  # [1, WP]
-        p = jnp.sum(jnp.where(kio == k, row, 0))
-        p = jnp.where(i == 0, 2, p)
-        p = jnp.where((j == 0) & (i > 0), 1, p)
-        dg = active & (i > 0) & (j > 0) & (p == 0)
-        up_ = active & (~dg) & (i > 0) & (p == 1)
-        lf = active & (~dg) & (~up_)
-        idx = jnp.maximum(j - 1, 0)
-        cols = jnp.where((mio == idx) & dg, i - 1, cols)
-        # j <= m always on the walk, so clipping to the static M bound
-        # is identical to the XLA path's clip(j, 0, M)
-        ins = ins + jnp.where((m2io == jnp.clip(j, 0, MP2 - 1)) & up_, 1, 0)
-        i = i - (dg | up_).astype(jnp.int32)
-        j = j - (dg | lf).astype(jnp.int32)
-        return (i, j, cols, ins)
+    @pl.when(gi == 0)
+    def _init():
+        cols_ref[:, :] = jnp.full((m.shape[0], MP), -1, jnp.int32)
+        ins_ref[:, :] = jnp.zeros((m.shape[0], MP2), jnp.int32)
+        k_ref[:, :] = jnp.zeros((m.shape[0], 128), jnp.int32)
 
-    cols0 = jnp.full((1, MP), -1, jnp.int32)
-    ins0 = jnp.zeros((1, MP2), jnp.int32)
-    _, _, cols, ins = jax.lax.fori_loop(
-        0, N + int(MP), body, (n, m, cols0, ins0))
-    cols_ref[0, :, :] = cols
-    ins_ref[0, :, :] = ins
+    active = n >= i                      # pair's walk has reached row i
+    k_cur = k_ref[:, 0:1]
+    # Activation: the walk starts at (i=n, j=m) → k = m - n + W.
+    k_cur = jnp.where(n == i, m - n + W, k_cur)
+
+    row = ptr_ref[0, :, :].astype(jnp.int32)       # [Bt, WP]
+    j_of_k = karr - W + i                          # [1, WP]
+    eff = jnp.where(j_of_k == 0, jnp.int32(1), row)
+    # Left-run collapse: k* = max{k' <= k : eff[k'] != 2} via an
+    # inclusive cummax shift-max ladder (max is associative).
+    g = jnp.where(eff != 2, karr, jnp.int32(-1))
+    d = 1
+    while d < WP:
+        shifted = jnp.concatenate(
+            [jnp.full((g.shape[0], d), -1, g.dtype), g[:, :-d]], axis=1)
+        g = jnp.maximum(g, shifted)
+        d *= 2
+    kstar = jnp.sum(jnp.where(karr == k_cur, g, 0), axis=1, keepdims=True)
+    kstar = jnp.maximum(kstar, 0)        # inactive/garbage guard
+    pstar = jnp.sum(jnp.where(karr == kstar, eff, 0), axis=1,
+                    keepdims=True)
+    jstar = kstar - W + i
+    dg = active & (pstar == 0)
+    up = active & (pstar == 1)
+    cols_ref[:, :] = jnp.where((mio == jstar - 1) & dg, i - 1,
+                               cols_ref[:, :])
+    jclip = jnp.clip(jstar, 0, MP2 - 1)  # walk keeps j <= m <= M
+    ins_ref[:, :] = ins_ref[:, :] + jnp.where((m2io == jclip) & up, 1, 0)
+    k_next = jnp.where(up, kstar + 1, kstar)
+    k_ref[:, 0:1] = jnp.where(active, k_next, k_cur)
 
 
-@functools.partial(jax.jit, static_argnames=("W", "M", "interpret"))
-def tb_batch_pallas(ptr, qpad, ms, ns, *, W: int, M: int,
+@functools.partial(jax.jit, static_argnames=("W", "M", "Bt", "interpret"))
+def tb_batch_pallas(ptr, qpad, ms, ns, *, W: int, M: int, Bt: int = 256,
                     interpret: bool = False):
-    """Batched traceback over the DP pointer tensor, Pallas path.
+    """Batched traceback over the DP pointer tensor, all-Pallas path.
 
-    ptr: [N, B, WP] int8 (dp_ptr_pallas output).  Returns
+    ptr: [N, B, WP] int8 (dp_ptr_pallas output, rows already batch-
+    major — consumed directly, no transpose/widen glue).  Returns
     (cols [B, M] int8 query bases, ins [B, M+1] int32 counts) —
     identical to the XLA _traceback_one path."""
     import jax.experimental.pallas as pl
@@ -228,33 +258,34 @@ def tb_batch_pallas(ptr, qpad, ms, ns, *, W: int, M: int,
     N, B, WP = ptr.shape
     MP = _round_up(M, 128)
     MP2 = _round_up(M + 2, 128)
-    # [B, N, WP] int32: per-pair rows contiguous; int32 avoids a per-
-    # step int8 relayout in the walk loop.
-    ptr32 = jnp.transpose(ptr, (1, 0, 2)).astype(jnp.int32)
-    kernel = functools.partial(_tb_kernel, W=W, WP=WP, MP=MP, MP2=MP2, N=N)
+    nbt = (B + Bt - 1) // Bt
+    assert B % Bt == 0 or nbt == 1, (B, Bt)
+    if nbt == 1:
+        Bt = B
+    kernel = functools.partial(
+        _tb_rows_kernel, W=W, WP=WP, MP=MP, MP2=MP2, N=N)
     cols_i, ins_p = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(nbt, N),
         in_specs=[
-            pl.BlockSpec((1, N, WP), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Bt, WP), lambda bt, gi: (N - 1 - gi, bt, 0)),
+            pl.BlockSpec((Bt, 1), lambda bt, gi: (bt, 0)),
+            pl.BlockSpec((Bt, 1), lambda bt, gi: (bt, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, MP), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, MP2), lambda b: (b, 0, 0)),
+            pl.BlockSpec((Bt, MP), lambda bt, gi: (bt, 0)),
+            pl.BlockSpec((Bt, MP2), lambda bt, gi: (bt, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, 1, MP), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, MP2), jnp.int32),
+            jax.ShapeDtypeStruct((B, MP), jnp.int32),
+            jax.ShapeDtypeStruct((B, MP2), jnp.int32),
         ],
+        scratch_shapes=[pltpu.VMEM((Bt, 128), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ) if not interpret else None,
         interpret=interpret,
-    )(ptr32, ms.reshape(B, 1, 1), ns.reshape(B, 1, 1))
-    cols_i = cols_i[:, 0, :]
-    ins_p = ins_p[:, 0, :]
+    )(ptr, ms.reshape(B, 1), ns.reshape(B, 1))
     # Resolve query indices to bases (one gather), clip padding.
     qi = jnp.clip(cols_i[:, :M], 0, qpad.shape[1] - 1)
     bases = jnp.take_along_axis(qpad, qi, axis=1)
@@ -303,11 +334,23 @@ def _traceback_one(ptr_b, q, m, n, *, W: int, M: int, N: int,
     return cols, ins
 
 
-@functools.partial(jax.jit, static_argnames=("W", "interpret"))
+def _tb_impl_default() -> str:
+    import os
+
+    force = os.environ.get("SVTREK_POA_TB", "")
+    if force in ("pallas", "xla"):
+        return force
+    return "pallas"
+
+
+@functools.partial(jax.jit, static_argnames=("W", "tb", "interpret"))
 def dp_cols_batch_pallas(tpad, ms, qpad, ns, bands, *, W,
+                         tb: str | None = None,
                          interpret: bool = False):
     """Drop-in for ops/poa_batch._dp_cols_batch (same inputs/outputs),
-    with the row scan in Pallas and the traceback in XLA."""
+    all-Pallas: the row scan AND the reverse-row-sweep traceback run as
+    Mosaic kernels (tb="xla" falls back to the scatter-free XLA walk;
+    SVTREK_POA_TB overrides the default)."""
     B0, M = tpad.shape
     # The DP grid tiles the batch by Bt=256; pad arbitrary batch sizes
     # up to a tile multiple with zero-length pairs (m=n=0 rows cost one
@@ -341,13 +384,18 @@ def dp_cols_batch_pallas(tpad, ms, qpad, ns, bands, *, W,
     qbig = jax.lax.dynamic_update_slice(qbig, qpad, (0, 0))
     ptr = dp_ptr_pallas(tbig, qbig, ms, bands, W=W, N=N,
                         Bt=min(B, 256), interpret=interpret)
-    # ptr: [N, B, WP] → scatter-free XLA traceback (vmap over axis 1).
-    # NOTE: tb_batch_pallas (the all-Pallas walk) exists but is NOT the
-    # default — its compile reproducibly wedges this environment's
-    # remote Mosaic compile service; the record-emit XLA walk below
-    # removes the dominant per-step scatters without that hazard.
-    cols, ins = jax.vmap(
-        functools.partial(_traceback_one, W=W, M=M, N=N),
-        in_axes=(1, 0, 0, 0),
-    )(ptr, qpad, ms, ns)
+    if (tb or _tb_impl_default()) == "pallas":
+        # All-Pallas traceback: the reverse-row-sweep kernel consumes
+        # ptr [N, B, WP] directly (no transpose glue) and replaces the
+        # XLA walk's ~(N+M) dispatch-bound scan steps with N hardware
+        # grid steps of batched vector work.
+        cols, ins = tb_batch_pallas(ptr, qpad, ms, ns, W=W, M=M,
+                                    Bt=min(B, 256), interpret=interpret)
+    else:
+        # Scatter-free XLA walk (vmap over batch axis 1) — the CPU
+        # fallback and the SVTREK_POA_TB=xla escape hatch.
+        cols, ins = jax.vmap(
+            functools.partial(_traceback_one, W=W, M=M, N=N),
+            in_axes=(1, 0, 0, 0),
+        )(ptr, qpad, ms, ns)
     return cols[:B0], ins[:B0]

@@ -51,19 +51,45 @@ def _build(rng, B, M, band, sub=0.08, ins=0.04, dele=0.04, jitter=40):
     return tpad, ms, qpad, ns, bands, W, targets, queries
 
 
+@pytest.mark.parametrize("tb", ["pallas", "xla"])
 @pytest.mark.parametrize("seed,B,M,band", [
     (1, 8, 200, 16),
     (2, 5, 60, 8),       # short targets, narrow band
     (3, 16, 300, 32),    # band bucket 32
     (4, 4, 500, 64),     # W = 64 storage
 ])
-def test_pallas_matches_xla(seed, B, M, band):
+def test_pallas_matches_xla(seed, B, M, band, tb):
     rng = np.random.default_rng(seed)
     tpad, ms, qpad, ns, bands, W, _, _ = _build(rng, B, M, band)
     cols_x, ins_x = (np.asarray(x) for x in _dp_cols_batch(
         tpad, ms, qpad, ns, bands, W=W))
     cols_p, ins_p = (np.asarray(x) for x in dp_cols_batch_pallas(
-        tpad, ms, qpad, ns, bands, W=W, interpret=True))
+        tpad, ms, qpad, ns, bands, W=W, tb=tb, interpret=True))
+    assert np.array_equal(cols_x, cols_p)
+    assert np.array_equal(ins_x, ins_p)
+
+
+@pytest.mark.parametrize("tb", ["pallas", "xla"])
+def test_pallas_degenerate_pairs(tb):
+    """Empty query (all-left walk), empty target (all-up walk), and a
+    query far longer than the target: the traceback activation /
+    boundary rules must match the XLA walk exactly."""
+    rng = np.random.default_rng(5)
+    B = 4
+    Mp, Np = 128, 128
+    tpad = np.full((B, Mp), 5, np.int8)
+    qpad = np.full((B, Np), 5, np.int8)
+    ms = np.array([40, 0, 10, 60], np.int32)
+    ns = np.array([0, 40, 50, 55], np.int32)
+    for i in range(B):
+        tpad[i, : ms[i]] = rng.integers(0, 4, ms[i]).astype(np.int8)
+        qpad[i, : ns[i]] = rng.integers(0, 4, ns[i]).astype(np.int8)
+    bands = np.maximum(8, np.abs(ns - ms) + 1).astype(np.int32)
+    W = 64
+    cols_x, ins_x = (np.asarray(x) for x in _dp_cols_batch(
+        tpad, ms, qpad, ns, bands, W=W))
+    cols_p, ins_p = (np.asarray(x) for x in dp_cols_batch_pallas(
+        tpad, ms, qpad, ns, bands, W=W, tb=tb, interpret=True))
     assert np.array_equal(cols_x, cols_p)
     assert np.array_equal(ins_x, ins_p)
 
