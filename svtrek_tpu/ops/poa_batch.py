@@ -56,8 +56,15 @@ def _dp_one(t, m, q, n, band, *, W: int, unroll: int = 1):
     gapk = GAP * karr
 
     # Padded target so row i's bases t[j-1], j = i + k - W, are one
-    # dynamic_slice: tbig[i + k] == t[j - 1].
-    tbig = jnp.full((M + 2 * W + 2,), jnp.int8(5))
+    # dynamic_slice: tbig[i + k] == t[j - 1].  Sized for the LARGEST row
+    # start i = N, not just M: dynamic_slice CLAMPS an out-of-range
+    # start, so a too-short tbig silently shifted every row i > M + 1
+    # onto wrong target bases (latent round-4 bug — hit whenever a
+    # query overruns the target's padded bucket by more than one, e.g.
+    # m = 1011 in a 1024 bucket against n = 1048; caught by the r5
+    # hardware-vs-XLA parity sweep, regression-tested in
+    # tests/test_poa_batch.py::test_query_overruns_target_bucket).
+    tbig = jnp.full((max(M, N) + 2 * W + 2,), jnp.int8(5))
     tbig = jax.lax.dynamic_update_slice(tbig, t, (W + 1,))
 
     # Row 0: score[0, j] = GAP*j for 0 <= j <= min(m, band)
@@ -202,6 +209,27 @@ def _pow2(n: int, lo: int) -> int:
     return v
 
 
+def _nbucket(n: int, lo: int = 16) -> int:
+    """Length bucket for the padded pair shapes: pow2 up to 512, then
+    quarter-significand steps ({1.0, 1.25, 1.5, 1.75} x 2^k).  The DP
+    and traceback grids run one step per padded query row, so a
+    1048-base query in a pow2 bucket pays 2048 rows — ~2x dead work;
+    the finer steps cap the waste at 25% while keeping the number of
+    compiled shape variants small (remote kernel compiles cost minutes
+    on some backends, so every extra bucket is expensive — below 512
+    rows are cheap and pow2's variant economy wins)."""
+    if n <= 512:
+        return _pow2(n, lo)
+    v = 1024
+    while v < n:
+        v *= 2
+    for frac in (10, 12, 14, 16):  # (v/2) x {1.25, 1.5, 1.75, 2.0}
+        c = (v // 2) * frac // 8
+        if c >= n:
+            return c
+    return v
+
+
 def _segments_from_counts(query: np.ndarray, cols: np.ndarray,
                           ins_counts: np.ndarray) -> list[str]:
     """Reconstruct the inserted query segment per boundary from the
@@ -249,8 +277,8 @@ def banded_cols_batch(targets, queries, band: int = 64,
             dev_idx.append(i)
     if not dev_idx:
         return cols_out, segs_out
-    Mp = _pow2(max(len(targets[i]) for i in dev_idx), 16)
-    Np = _pow2(max(len(queries[i]) for i in dev_idx), 16)
+    Mp = _nbucket(max(len(targets[i]) for i in dev_idx))
+    Np = _nbucket(max(len(queries[i]) for i in dev_idx))
     Wm = max(
         max(band, abs(len(queries[i]) - len(targets[i])) + 1)
         for i in dev_idx
