@@ -69,38 +69,50 @@ def _row_searchsorted(rows: jnp.ndarray, queries: jnp.ndarray, side: str) -> jnp
     return lo
 
 
-def _anchor_stats(locs, prefix, n, anchor_idx, loc_a, interval: int):
+def _anchor_stats(locs, n, anchor_idx, loc_a, interval: int):
     """Cluster count/candidate at the given anchors, both directions.
 
-    locs: [B, K] int32 sorted ascending, INT32_MAX padding; prefix:
-    [B, K+1] wrapping int32 prefix sums; anchor_idx/loc_a: [B, W].
-    Returns (cand_l, count_l, cand_r, count_r), each [B, W].
+    locs: [B, K] int32 sorted ascending, INT32_MAX padding;
+    anchor_idx/loc_a: [B, W].  Returns (cand_l, count_l, cand_r,
+    count_r), each [B, W].
 
     Left cluster at anchor i  = {j <= i : locs[i] - locs[j] <= interval}
     (refinement.c:61-64); right cluster at anchor i =
     {j >= i : locs[j] - locs[i] <= interval} (refinement.c:83-86); both
     are contiguous runs of the sorted row.  candidate reproduces
-    floor((total + count/2)/count) with uint64 total via the int32
-    wrap-safe delta-sum formulation (see module docstring).
+    floor((total + count/2)/count) with uint64 total via an int32
+    wrap-safe delta-sum (see module docstring).
+
+    Formulation: masked [B, W, K] COMPARE-REDUCES, not binary search —
+    sortedness makes "members of anchor i's run" a pure predicate
+    (j <= i AND locs[j] >= lo, resp. i <= j < n AND locs[j] <= hi), so
+    count and sum are one fused reduction each.  The previous rowwise
+    binary search paid ~7 take_along_axis gathers per bound; gathers
+    dominated the whole audit step on hardware (round-5 chained-slope
+    profile: 97 of 103 ms), while the O(W·K) broadcast form is plain
+    VPU compare+add work that XLA fuses without materializing.
     """
     # queries clamp: values near INT32_MAX are padding; their stats are
     # never used (padded anchors are inactive in the sweep).
     q_lo = jnp.where(loc_a >= _I32_BIG - interval, loc_a, loc_a - interval)
     q_hi = jnp.where(loc_a >= _I32_BIG - interval, loc_a, loc_a + interval)
 
-    first = _row_searchsorted(locs, q_lo, "left").astype(jnp.int32)
-    count_l = anchor_idx - first + 1
+    K = locs.shape[1]
+    jidx = jnp.arange(K, dtype=jnp.int32)[None, None, :]   # [1, 1, K]
+    lrow = locs[:, None, :]                                # [B, 1, K]
+    a3 = anchor_idx[:, :, None]                            # [B, W, 1]
+
+    in_l = (jidx <= a3) & (lrow >= q_lo[:, :, None])
+    count_l = jnp.sum(in_l, axis=2, dtype=jnp.int32)
     # S = count*L − Σ values  (true value small, exact under int32 wrap)
-    sum_l = jnp.take_along_axis(prefix, anchor_idx + 1, axis=1) - \
-        jnp.take_along_axis(prefix, first, axis=1)
+    sum_l = jnp.sum(jnp.where(in_l, lrow, 0), axis=2, dtype=jnp.int32)
     s_l = count_l * loc_a - sum_l
     cand_l = loc_a + (count_l // 2 - s_l) // jnp.maximum(count_l, 1)
 
-    last = _row_searchsorted(locs, q_hi, "right").astype(jnp.int32) - 1
-    last = jnp.minimum(last, jnp.maximum(n[:, None] - 1, 0))
-    count_r = last - anchor_idx + 1
-    sum_r = jnp.take_along_axis(prefix, last + 1, axis=1) - \
-        jnp.take_along_axis(prefix, anchor_idx, axis=1)
+    in_r = (jidx >= a3) & (jidx < n[:, None, None]) & \
+        (lrow <= q_hi[:, :, None])
+    count_r = jnp.sum(in_r, axis=2, dtype=jnp.int32)
+    sum_r = jnp.sum(jnp.where(in_r, lrow, 0), axis=2, dtype=jnp.int32)
     s_r = sum_r - count_r * loc_a
     count_r_safe = jnp.maximum(count_r, 1)
     cand_r = loc_a + (s_r + count_r_safe // 2) // count_r_safe
@@ -210,12 +222,6 @@ def consensus_pos_batch(
     half = C.SV_MIN_LENGTH // 2
     W = min(sweep_width, K)
 
-    # Wrapping int32 prefix sums: differences recover small true sums.
-    zero = jnp.zeros((B, 1), jnp.int32)
-    masked = jnp.where(locs >= _I32_BIG, 0, locs)
-    prefix = jnp.concatenate(
-        [zero, jnp.cumsum(masked, axis=1, dtype=jnp.int32)], axis=1)
-
     k_idx = jnp.arange(W, dtype=jnp.int32)[None, :]
 
     # point = lower_bound(locs, pos + 25): last index <= query, clamped
@@ -223,10 +229,19 @@ def consensus_pos_batch(
     sr = _row_searchsorted(locs, (pos + half)[:, None], "right")
     point_l = jnp.clip(sr[:, 0].astype(jnp.int32) - 1, 0, jnp.maximum(n - 1, 0))
 
+    # One [B, W, K] masked reduce replaces the [B, W] take_along_axis
+    # row gathers (gathers are the audit step's hardware bottleneck —
+    # see _anchor_stats).
+    def _locs_at(idx):
+        return jnp.sum(
+            jnp.where(jnp.arange(K, dtype=jnp.int32)[None, None, :]
+                      == idx[:, :, None], locs[:, None, :], 0),
+            axis=2, dtype=jnp.int32)
+
     idx_l = point_l[:, None] - k_idx                        # descending walk
     in_bounds_l = idx_l >= 0
     idx_l_c = jnp.clip(idx_l, 0, K - 1)
-    loc_at_l = jnp.take_along_axis(locs, idx_l_c, axis=1)
+    loc_at_l = _locs_at(idx_l_c)
     ok_l = in_bounds_l & (jnp.abs(pos[:, None] - loc_at_l) < range_)
     active_l = jnp.cumsum(jnp.where(ok_l, 0, 1), axis=1) == 0  # cumulative AND
     # Overflow: the sweep was still in-range at its last step AND more
@@ -244,16 +259,16 @@ def consensus_pos_batch(
     idx_r = point_r[:, None] + k_idx                        # ascending walk
     in_bounds_r = idx_r < n[:, None]
     idx_r_c = jnp.clip(idx_r, 0, K - 1)
-    loc_at_r = jnp.take_along_axis(locs, idx_r_c, axis=1)
+    loc_at_r = _locs_at(idx_r_c)
     ok_r = in_bounds_r & (jnp.abs(pos[:, None] - loc_at_r) < range_)
     active_r = jnp.cumsum(jnp.where(ok_r, 0, 1), axis=1) == 0
     ovf_r = active_r[:, -1] & (point_r + (W - 1) < n - 1)
 
     # Cluster stats at the swept anchors only ([B, W], not [B, K]).
     cand_l, count_l, _, _ = _anchor_stats(
-        locs, prefix, n, idx_l_c, loc_at_l, interval)
+        locs, n, idx_l_c, loc_at_l, interval)
     _, _, cand_r, count_r = _anchor_stats(
-        locs, prefix, n, idx_r_c, loc_at_r, interval)
+        locs, n, idx_r_c, loc_at_r, interval)
 
     if impl in ("pallas", "pallas_interpret"):
         from .sweep_pallas import sweep_fold_pallas
