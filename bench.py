@@ -30,8 +30,9 @@ os.environ.setdefault(
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
-B = 8192            # windows per batch (dispatch-overhead-amortizing; the
-                    # step itself is ~30 µs flat from 1k to 16k windows)
+B = 8192            # windows per batch (amortizes the ~80 ms tunnel
+                    # dispatch+sync constant; honest per-batch step cost
+                    # is ~1 ms at this size — chained-slope measured)
 READS_PER_WIN = 24  # supporting + noise reads per window
 O = 128             # padded CIGAR ops per read
 K = 64              # candidate capacity per window (overflow → host fallback)
