@@ -929,7 +929,7 @@ def bench_scaling():
 # group still delivers stages 1..k-1.  Each stage is wrapped in its own
 # try/except inside the child; every group has a kill budget sized to
 # the measured multi-minute remote Mosaic compile where one is paid; and
-# a global wall budget (SVTREK_BENCH_BUDGET, default 4500 s) skips
+# a global wall budget (SVTREK_BENCH_BUDGET, default 5400 s) skips
 # not-yet-started groups rather than dying.  main() ALWAYS prints one
 # JSON line and exits 0 — even if every stage fails, the line records
 # the failures.

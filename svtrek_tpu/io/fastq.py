@@ -29,8 +29,10 @@ def iter_fastq(path: str, names=None) -> Iterator[tuple[str, str]]:
         n4 = len(pend) - (len(pend) % 4)
         for i in range(0, n4, 4):
             hdr = pend[i]
-            name = (hdr[1:].split(None, 1)[0].decode()
-                    if len(hdr) > 1 else "")
+            # split() drops all whitespace incl. '\r'; a degenerate
+            # header that is ONLY whitespace ('@\r') yields name "".
+            toks = hdr[1:].split(None, 1) if len(hdr) > 1 else []
+            name = toks[0].decode() if toks else ""
             if names is None or name in names:
                 # CRLF input: splitting on b'\n' alone leaves a '\r' on
                 # every line; the header's whitespace split already drops

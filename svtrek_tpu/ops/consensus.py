@@ -98,21 +98,31 @@ def _anchor_stats(locs, n, anchor_idx, loc_a, interval: int):
     q_hi = jnp.where(loc_a >= _I32_BIG - interval, loc_a, loc_a + interval)
 
     K = locs.shape[1]
-    jidx = jnp.arange(K, dtype=jnp.int32)[None, None, :]   # [1, 1, K]
-    lrow = locs[:, None, :]                                # [B, 1, K]
     a3 = anchor_idx[:, :, None]                            # [B, W, 1]
 
-    in_l = (jidx <= a3) & (lrow >= q_lo[:, :, None])
-    count_l = jnp.sum(in_l, axis=2, dtype=jnp.int32)
+    # Chunk the K axis (static unrolled loop): keeps any materialized
+    # [B, W, chunk] intermediate bounded at the 8192 candidate cap
+    # (XLA-CPU sometimes materializes what TPU fuses), with identical
+    # results — counts and wrap-safe sums are chunkwise additive.
+    CHUNK = 2048
+    count_l = sum_l = count_r = sum_r = jnp.int32(0)
+    for c0 in range(0, K, CHUNK):
+        c1 = min(c0 + CHUNK, K)
+        jidx = jnp.arange(c0, c1, dtype=jnp.int32)[None, None, :]
+        lrow = locs[:, None, c0:c1]                        # [B, 1, c]
+        in_l = (jidx <= a3) & (lrow >= q_lo[:, :, None])
+        count_l = count_l + jnp.sum(in_l, axis=2, dtype=jnp.int32)
+        sum_l = sum_l + jnp.sum(jnp.where(in_l, lrow, 0), axis=2,
+                                dtype=jnp.int32)
+        in_r = (jidx >= a3) & (jidx < n[:, None, None]) & \
+            (lrow <= q_hi[:, :, None])
+        count_r = count_r + jnp.sum(in_r, axis=2, dtype=jnp.int32)
+        sum_r = sum_r + jnp.sum(jnp.where(in_r, lrow, 0), axis=2,
+                                dtype=jnp.int32)
+
     # S = count*L − Σ values  (true value small, exact under int32 wrap)
-    sum_l = jnp.sum(jnp.where(in_l, lrow, 0), axis=2, dtype=jnp.int32)
     s_l = count_l * loc_a - sum_l
     cand_l = loc_a + (count_l // 2 - s_l) // jnp.maximum(count_l, 1)
-
-    in_r = (jidx >= a3) & (jidx < n[:, None, None]) & \
-        (lrow <= q_hi[:, :, None])
-    count_r = jnp.sum(in_r, axis=2, dtype=jnp.int32)
-    sum_r = jnp.sum(jnp.where(in_r, lrow, 0), axis=2, dtype=jnp.int32)
     s_r = sum_r - count_r * loc_a
     count_r_safe = jnp.maximum(count_r, 1)
     cand_r = loc_a + (s_r + count_r_safe // 2) // count_r_safe
@@ -172,7 +182,10 @@ def _sweep_scan(active, cand_at, count_at, pos, min_count: int, interval: int,
 # Mosaic compile (VERDICT r4 weak-6: a sub-second fixture paid 8.5 min
 # of wall on first run).  The Pallas fold stays available
 # (SVTREK_SWEEP_IMPL=pallas / impl="pallas"), bit-identical and tested.
-def _default_impl(B: int) -> str:
+def _default_impl() -> str:
+    """NOTE: resolved at TRACE time (impl is a static jit arg), so the
+    SVTREK_SWEEP_IMPL override must be set before the first call of a
+    given shape — already-compiled executables keep their impl."""
     import os
 
     force = os.environ.get("SVTREK_SWEEP_IMPL", "")
@@ -201,14 +214,14 @@ def consensus_pos_batch(
 
     locs: [B, K] int32, sorted ascending per row, INT32_MAX padding.
     n:    [B] int32 valid counts;  pos: [B] int32 imprecise positions.
-    impl: "pallas" | "pallas_interpret" | "scan" | None (auto: Pallas on
-          TPU backends, scan elsewhere).
+    impl: "pallas" | "pallas_interpret" | "scan" | None (auto: the
+          scan fold; SVTREK_SWEEP_IMPL overrides, read at trace time).
     Returns (refined [B] int32 with -1 = NA,
              overflow [B] bool — sweep window exceeded; recompute those
              rows on the host for exactness).
     """
     B, K = locs.shape
-    impl = impl or _default_impl(B)
+    impl = impl or _default_impl()
     n = n.astype(jnp.int32)
     pos = pos.astype(jnp.int32)
     half = C.SV_MIN_LENGTH // 2
@@ -225,10 +238,14 @@ def consensus_pos_batch(
     # row gathers (gathers are the audit step's hardware bottleneck —
     # see _anchor_stats).
     def _locs_at(idx):
-        return jnp.sum(
-            jnp.where(jnp.arange(K, dtype=jnp.int32)[None, None, :]
-                      == idx[:, :, None], locs[:, None, :], 0),
-            axis=2, dtype=jnp.int32)
+        out = jnp.int32(0)
+        for c0 in range(0, K, 2048):   # chunked like _anchor_stats
+            c1 = min(c0 + 2048, K)
+            out = out + jnp.sum(
+                jnp.where(jnp.arange(c0, c1, dtype=jnp.int32)[None, None, :]
+                          == idx[:, :, None], locs[:, None, c0:c1], 0),
+                axis=2, dtype=jnp.int32)
+        return out
 
     idx_l = point_l[:, None] - k_idx                        # descending walk
     in_bounds_l = idx_l >= 0

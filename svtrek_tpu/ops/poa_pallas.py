@@ -335,6 +335,9 @@ def _traceback_one(ptr_b, q, m, n, *, W: int, M: int, N: int,
 
 
 def _tb_impl_default() -> str:
+    """NOTE: resolved at TRACE time (tb is a static jit arg), so the
+    SVTREK_POA_TB override must be set before the first call of a given
+    shape — already-compiled executables keep their traceback impl."""
     import os
 
     force = os.environ.get("SVTREK_POA_TB", "")

@@ -151,7 +151,7 @@ def test_consensus_lengths_matches_oracle(seed):
     np.testing.assert_array_equal(got, want)
 
 
-def test_default_impl_work_size_gate(monkeypatch):
+def test_default_impl(monkeypatch):
     """Auto sweep impl is the scan fold on every backend (the round-5
     gather-free stats made the Pallas fold moot, and the scan variant
     never pays a minutes-cold remote Mosaic compile — VERDICT r4
@@ -159,9 +159,33 @@ def test_default_impl_work_size_gate(monkeypatch):
     from svtrek_tpu.ops import consensus as cns
 
     monkeypatch.delenv("SVTREK_SWEEP_IMPL", raising=False)
-    assert cns._default_impl(1 << 20) == "scan"
-    assert cns._default_impl(1) == "scan"
+    assert cns._default_impl() == "scan"
     monkeypatch.setenv("SVTREK_SWEEP_IMPL", "pallas")
-    assert cns._default_impl(1) == "pallas"
+    assert cns._default_impl() == "pallas"
     monkeypatch.setenv("SVTREK_SWEEP_IMPL", "scan")
-    assert cns._default_impl(1 << 20) == "scan"
+    assert cns._default_impl() == "scan"
+
+
+def test_consensus_large_k_chunked():
+    """K=8192 (the documented candidate cap) exercises the chunked
+    [B, W, K] stats reduces; parity vs the scalar oracle."""
+    import numpy as np
+
+    from svtrek_tpu.oracle.refine import consensus_pos
+
+    rng = np.random.default_rng(5)
+    B, K = 4, 8192
+    locs = np.full((B, K), 0x7FFFFFFF, np.int32)
+    n = np.array([5000, 8192, 3, 700], np.int32)
+    pos = np.zeros(B, np.int32)
+    for b in range(B):
+        base = int(rng.integers(100_000, 1_000_000))
+        vals = base + rng.integers(-400, 400, n[b])
+        locs[b, : n[b]] = np.sort(vals.astype(np.int32))
+        pos[b] = base + int(rng.integers(-20, 20))
+    got, ovf = (np.asarray(x) for x in consensus_pos_batch(locs, n, pos))
+    for b in range(B):
+        if ovf[b]:
+            continue
+        want = consensus_pos(locs[b, : n[b]].tolist(), int(pos[b]))
+        assert got[b] == want, b

@@ -88,3 +88,12 @@ def test_iter_fastq_crlf(tmp_path):
         fh.write(b"@r1 desc\r\nACGT\r\n+\r\nIIII\r\n@r2\r\nTTAA\r\n+\r\nIIII\r\n")
     assert list(iter_fastq(p)) == [("r1", "ACGT"), ("r2", "TTAA")]
     assert list(iter_fastq(p, names={"r2"})) == [("r2", "TTAA")]
+
+
+def test_iter_fastq_degenerate_header(tmp_path):
+    """A header that is only '@' (or '@' + whitespace/CR) must yield an
+    empty name, not IndexError (review r5)."""
+    p = str(tmp_path / "deg.fq")
+    with open(p, "wb") as fh:
+        fh.write(b"@\r\nACGT\r\n+\r\nIIII\r\n@ \nTTTT\n+\nIIII\n@\nGGGG\n+\nIIII\n")
+    assert list(iter_fastq(p)) == [("", "ACGT"), ("", "TTTT"), ("", "GGGG")]
