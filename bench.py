@@ -952,6 +952,23 @@ STAGE_GROUPS = [
 
 _STAGE_ORDER = [s for _, ss, _ in STAGE_GROUPS for s in ss]
 
+# Orchestrator self-test stages (tests/test_bench_orchestrator.py):
+# trivial stages the group runner can exercise without a backend.
+def _selftest_ok():
+    return {"metric": "selftest_ok", "value": 1.0, "unit": "none",
+            "vs_baseline": 1.0}
+
+
+def _selftest_fail():
+    raise RuntimeError("selftest stage failure")
+
+
+def _selftest_hang():  # pragma: no cover - killed by the group budget
+    import time as _t
+
+    _t.sleep(3600)
+
+
 _CHILD_TEMPLATE = r"""
 import json, sys, traceback
 import bench

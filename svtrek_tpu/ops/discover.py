@@ -101,3 +101,29 @@ def scan_projected_runs_compact(
         read_pos.reshape(-1)[sel_c],
         lens.reshape(-1)[sel_c],
     )
+
+
+@functools.partial(jax.jit, static_argnames=("O", "min_len", "cap"))
+def scan_projected_runs_compact_csr(
+    ops_flat: jnp.ndarray,   # [T] int8 (C projector's flat run ops)
+    lens_flat: jnp.ndarray,  # [T] int32
+    n_runs: jnp.ndarray,     # [N] int32 (sum <= T)
+    ref_start: jnp.ndarray,  # [N] int32
+    *,
+    O: int,
+    min_len: int = 50,
+    cap: int = 2048,
+) -> tuple[jnp.ndarray, ...]:
+    """scan_projected_runs_compact fed the flat CSR layout: the host
+    ships the C GAF projector's run arrays verbatim (~40% of the padded
+    [N, O] bytes at typical 45-run reads — the disc loop is up-transfer
+    bound on a tunneled chip, round-5 phase profile) and the device
+    scatters them into the padded layout itself (the audit CSR design,
+    ops/audit_step.csr_to_padded).  Unwritten cells are op 0 / len 0 —
+    scan_projected_runs masks every column >= n_runs, so results are
+    identical to the padded path."""
+    from .audit_step import csr_to_padded
+
+    ops, lens = csr_to_padded(ops_flat, lens_flat, n_runs, O=O)
+    return scan_projected_runs_compact(
+        ops, lens, n_runs, ref_start, min_len=min_len, cap=cap)
