@@ -228,3 +228,44 @@ def test_disc_sharded_matches_dense(tmp_path):
     assert [b.__dict__ for b in sharded] == [b.__dict__ for b in dense]
     scalar = [b for p in projected for b in scan_breakpoints(p, 50)]
     assert [b.__dict__ for b in dense] == [b.__dict__ for b in scalar]
+
+
+def test_compact_csr_matches_padded():
+    """The flat-CSR feed (scan_projected_runs_compact_csr, the
+    single-device production path) must produce identical compact
+    results to the padded form it replaces (round 5: the disc loop is
+    up-transfer bound; CI's 8-virtual-device mesh takes the sharded
+    padded path, so this exercises the CSR kernel explicitly)."""
+    import numpy as np
+
+    from svtrek_tpu.ops.discover import (
+        scan_projected_runs_compact, scan_projected_runs_compact_csr,
+    )
+
+    rng = np.random.default_rng(3)
+    N, O = 64, 32
+    n_runs = rng.integers(1, O, N).astype(np.int32)
+    ops = np.full((N, O), 9, np.int8)
+    lens = np.zeros((N, O), np.int32)
+    for r in range(N):
+        k = n_runs[r]
+        ops[r, :k] = rng.choice([0, 1, 2, 4], k).astype(np.int8)
+        lens[r, :k] = rng.integers(1, 120, k)
+    ref_start = rng.integers(0, 1 << 20, N).astype(np.int32)
+    total = int(n_runs.sum())
+    T = 1024
+    of = np.zeros(T, np.int8)
+    lf = np.zeros(T, np.int32)
+    pos = 0
+    for r in range(N):
+        k = int(n_runs[r])
+        of[pos:pos + k] = ops[r, :k]
+        lf[pos:pos + k] = lens[r, :k]
+        pos += k
+    pad = [np.asarray(x) for x in scan_projected_runs_compact(
+        ops, lens, n_runs, ref_start, min_len=50, cap=256)]
+    csr = [np.asarray(x) for x in scan_projected_runs_compact_csr(
+        of, lf, n_runs, ref_start, O=O, min_len=50, cap=256)]
+    for a, b in zip(pad, csr):
+        assert np.array_equal(a, b)
+    assert int(pad[0]) > 0  # the fixture actually produced signals
