@@ -20,10 +20,13 @@ Key re-formulations (SURVEY.md §7, design translation 1):
 - The C outer sweeps carry a running (max_count, best_distance) state
   with a data-dependent early return — an inherently sequential
   record-chain fold (each accepted step must beat BOTH running values,
-  so it is not an associative reduction).  On TPU the fold runs as ONE
-  Pallas kernel (`ops.sweep_pallas`); on CPU (tests, the multi-chip
-  dry run) it runs as a `lax.scan` (`_sweep_scan`) with identical
-  semantics.  The sweep is bounded by ``sweep_width`` steps: the C loop
+  so it is not an associative reduction).  The fold runs as a
+  `lax.scan` (`_sweep_scan`) by default on every backend — with the
+  round-5 gather-free cluster stats the sweep is no longer the hot
+  path, and the scan compiles as plain XLA in seconds; the fused
+  Pallas fold (`ops.sweep_pallas`) stays selectable
+  (SVTREK_SWEEP_IMPL=pallas), bit-identical.  The sweep is bounded by
+  ``sweep_width`` steps: the C loop
   only visits anchors within ``consensus_interval_range`` of pos, which
   is a contiguous index window in the sorted array; windows with more
   in-range anchors than sweep_width are flagged for host fallback
