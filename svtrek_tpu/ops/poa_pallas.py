@@ -235,10 +235,31 @@ def _tb_rows_kernel(ptr_ref, m_ref, n_ref, cols_ref, ins_ref, k_ref,
     jstar = kstar - W + i
     dg = active & (pstar == 0)
     up = active & (pstar == 1)
-    cols_ref[:, :] = jnp.where((mio == jstar - 1) & dg, i - 1,
-                               cols_ref[:, :])
     jclip = jnp.clip(jstar, 0, MP2 - 1)  # walk keeps j <= m <= M
-    ins_ref[:, :] = ins_ref[:, :] + jnp.where((m2io == jclip) & up, 1, 0)
+    # Row i's emissions land within the band: j* in [i-band, i+band]
+    # (+ the j==0 boundary, reachable only when i <= band).  Updating a
+    # 128-aligned window of width WIN >= 2W+129 around i instead of the
+    # full [Bt, MP]/[Bt, MP2] rows roughly halves the per-row work at
+    # typical M (the accumulators were the tb kernel's dominant cost).
+    WIN = 256
+    while WIN < 2 * W + 129:
+        WIN *= 2
+    if WIN < MP:
+        base = (jnp.maximum(i - W - 1, 0) // 128) * 128
+        i0c = pl.multiple_of(jnp.clip(base, 0, MP - WIN), 128)
+        wio = jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
+        cs = cols_ref[:, pl.ds(i0c, WIN)]
+        cols_ref[:, pl.ds(i0c, WIN)] = jnp.where(
+            (wio + i0c == jstar - 1) & dg, i - 1, cs)
+        i0i = pl.multiple_of(jnp.clip(base, 0, MP2 - WIN), 128)
+        isl = ins_ref[:, pl.ds(i0i, WIN)]
+        ins_ref[:, pl.ds(i0i, WIN)] = isl + jnp.where(
+            (wio + i0i == jclip) & up, 1, 0)
+    else:
+        cols_ref[:, :] = jnp.where((mio == jstar - 1) & dg, i - 1,
+                                   cols_ref[:, :])
+        ins_ref[:, :] = ins_ref[:, :] + jnp.where((m2io == jclip) & up,
+                                                  1, 0)
     k_next = jnp.where(up, kstar + 1, kstar)
     k_ref[:, 0:1] = jnp.where(active, k_next, k_cur)
 

@@ -57,6 +57,7 @@ def _build(rng, B, M, band, sub=0.08, ins=0.04, dele=0.04, jitter=40):
     (2, 5, 60, 8),       # short targets, narrow band
     (3, 16, 300, 32),    # band bucket 32
     (4, 4, 500, 64),     # W = 64 storage
+    (10, 2, 900, 64),    # MP=1024 >> window: windowed tb accumulators
 ])
 def test_pallas_matches_xla(seed, B, M, band, tb):
     rng = np.random.default_rng(seed)
