@@ -38,14 +38,30 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _rows_per_step(N: int, cap: int = 8) -> int:
+    """Query rows processed per grid step: a measured ~1.9 µs of fixed
+    per-grid-step overhead (DMA/loop turnaround) dominated both POA
+    kernels at one row per step; unrolling R rows in-kernel amortizes
+    it ~R-fold.  Largest divisor of N up to `cap` (every production
+    N bucket — pow2 below 512, multiples of 128 above — gives 8)."""
+    r = cap
+    while r > 1 and N % r:
+        r //= 2
+    return r
+
+
 def _dp_rows_kernel(tbig_ref, q_ref, m_ref, band_ref, ptr_ref, row_ref,
-                    *, W: int, WP: int, N: int):
-    """One grid step: query row i = gi + 1 for batch tile bt.
+                    *, W: int, WP: int, N: int, R: int = 1):
+    """One grid step: query rows i = gi*R + 1 .. gi*R + R for batch
+    tile bt (R rows per step — a measured ~1.9 µs of per-grid-step
+    overhead dominated the whole kernel at one row per step; the row
+    recurrence stays sequential via the VMEM scratch, unrolled
+    in-kernel).
 
     tbig_ref: [Bt, TP] int8 (target padded with 5s, W+1 lead)
     q_ref:    [Bt, NP] int8
     m_ref, band_ref: [Bt, 1] int32
-    ptr_ref:  [1, Bt, WP] int8 output block (row i's pointers)
+    ptr_ref:  [R, Bt, WP] int8 output block (rows' pointers)
     row_ref:  [Bt, WP] int32 scratch (band row, persists across rows)
 
     Mosaic requires dynamic lane offsets to be 128-aligned, so the
@@ -59,7 +75,6 @@ def _dp_rows_kernel(tbig_ref, q_ref, m_ref, band_ref, ptr_ref, row_ref,
     from jax.experimental.pallas import tpu as pltpu
 
     gi = pl.program_id(1)
-    i = gi + 1
     karr = jax.lax.broadcasted_iota(jnp.int32, (1, WP), 1)
     gapk = GAP * karr
     m = m_ref[:, :]          # [Bt, 1]
@@ -73,51 +88,55 @@ def _dp_rows_kernel(tbig_ref, q_ref, m_ref, band_ref, ptr_ref, row_ref,
             (j0 >= 0) & (j0 <= jnp.minimum(m, band)), GAP * j0, NEG
         ).astype(jnp.int32)
 
-    prev = row_ref[:, :]     # [Bt, WP]
-    j = i + karr - W         # [1, WP] broadcasts over Bt
     # (roll is 32-bit-only on this Mosaic; widen the int8 bases first)
     WPW = 128
     while WPW < WP + 128:
         WPW *= 2
-    i0 = pl.multiple_of((i // 128) * 128, 128)
-    wide = tbig_ref[:, pl.ds(i0, WPW)].astype(jnp.int32)
-    tb = pltpu.roll(wide, shift=-(i - i0), axis=1)[:, :WP]
-    q0 = pl.multiple_of(((i - 1) // 128) * 128, 128)
-    qwide = q_ref[:, pl.ds(q0, 128)].astype(jnp.int32)
-    qi = pltpu.roll(qwide, shift=-(i - 1 - q0), axis=1)[:, :1]
-    sub = jnp.where(tb == qi, MATCH, MISMATCH)
-    diag = prev + sub
-    up = jnp.concatenate(
-        [prev[:, 1:], jnp.full((prev.shape[0], 1), NEG, prev.dtype)], axis=1
-    ) + GAP
-    c = jnp.maximum(diag, up)
-    # pointers stay int32 in-kernel (int8 selects force an i1 relayout
-    # Mosaic rejects); the store narrows once at the end
-    pc = jnp.where(up > diag, jnp.int32(1), jnp.int32(0))  # tie → diag
-    validj = (j >= 1) & (j <= m) & (jnp.abs(j - i) <= band)
-    cand = jnp.where(validj, c, NEG)
-    bmask = (j == 0) & (i <= band)
-    cand = jnp.where(bmask, GAP * i, cand)
-    pcand = jnp.where(bmask, jnp.int32(1), pc)
-    # In-row left gaps: exclusive cummax of (cand - GAP*k) along the
-    # band, as a shift-max ladder (max is associative → equal to
-    # lax.cummax).
-    g = cand - gapk
-    d = 1
-    while d < WP:
-        shifted = jnp.concatenate(
-            [jnp.full((g.shape[0], d), NEG, g.dtype), g[:, :-d]], axis=1)
-        g = jnp.maximum(g, shifted)
-        d *= 2
-    pexc = jnp.concatenate(
-        [jnp.full((g.shape[0], 1), NEG, g.dtype), g[:, :-1]], axis=1)
-    left = pexc + gapk
-    use_left = validj & (left > cand)
-    row = jnp.where(use_left, left, cand)
-    prow = jnp.where(use_left, jnp.int32(2), pcand)
-    row = jnp.where(validj | bmask, row, NEG)
-    row_ref[:, :] = row
-    ptr_ref[0, :, :] = prow.astype(jnp.int8)
+
+    for r in range(R):
+        i = gi * R + r + 1
+        prev = row_ref[:, :]     # [Bt, WP]
+        j = i + karr - W         # [1, WP] broadcasts over Bt
+        i0 = pl.multiple_of((i // 128) * 128, 128)
+        wide = tbig_ref[:, pl.ds(i0, WPW)].astype(jnp.int32)
+        tb = pltpu.roll(wide, shift=-(i - i0), axis=1)[:, :WP]
+        q0 = pl.multiple_of(((i - 1) // 128) * 128, 128)
+        qwide = q_ref[:, pl.ds(q0, 128)].astype(jnp.int32)
+        qi = pltpu.roll(qwide, shift=-(i - 1 - q0), axis=1)[:, :1]
+        sub = jnp.where(tb == qi, MATCH, MISMATCH)
+        diag = prev + sub
+        up = jnp.concatenate(
+            [prev[:, 1:], jnp.full((prev.shape[0], 1), NEG, prev.dtype)],
+            axis=1) + GAP
+        c = jnp.maximum(diag, up)
+        # pointers stay int32 in-kernel (int8 selects force an i1
+        # relayout Mosaic rejects); the store narrows once at the end
+        pc = jnp.where(up > diag, jnp.int32(1), jnp.int32(0))  # tie→diag
+        validj = (j >= 1) & (j <= m) & (jnp.abs(j - i) <= band)
+        cand = jnp.where(validj, c, NEG)
+        bmask = (j == 0) & (i <= band)
+        cand = jnp.where(bmask, GAP * i, cand)
+        pcand = jnp.where(bmask, jnp.int32(1), pc)
+        # In-row left gaps: exclusive cummax of (cand - GAP*k) along
+        # the band, as a shift-max ladder (max is associative → equal
+        # to lax.cummax).
+        g = cand - gapk
+        d = 1
+        while d < WP:
+            shifted = jnp.concatenate(
+                [jnp.full((g.shape[0], d), NEG, g.dtype), g[:, :-d]],
+                axis=1)
+            g = jnp.maximum(g, shifted)
+            d *= 2
+        pexc = jnp.concatenate(
+            [jnp.full((g.shape[0], 1), NEG, g.dtype), g[:, :-1]], axis=1)
+        left = pexc + gapk
+        use_left = validj & (left > cand)
+        row = jnp.where(use_left, left, cand)
+        prow = jnp.where(use_left, jnp.int32(2), pcand)
+        row = jnp.where(validj | bmask, row, NEG)
+        row_ref[:, :] = row
+        ptr_ref[r, :, :] = prow.astype(jnp.int8)
 
 
 @functools.partial(
@@ -140,8 +159,9 @@ def dp_ptr_pallas(tbig, q, ms, bands, *, W: int, N: int, Bt: int = 256,
     assert B % Bt == 0 or nbt == 1, (B, Bt)
     if nbt == 1:
         Bt = B
-    grid = (nbt, N)
-    kernel = functools.partial(_dp_rows_kernel, W=W, WP=WP, N=N)
+    R = _rows_per_step(N)
+    grid = (nbt, N // R)
+    kernel = functools.partial(_dp_rows_kernel, W=W, WP=WP, N=N, R=R)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -151,7 +171,7 @@ def dp_ptr_pallas(tbig, q, ms, bands, *, W: int, N: int, Bt: int = 256,
             pl.BlockSpec((Bt, 1), lambda bt, gi: (bt, 0)),
             pl.BlockSpec((Bt, 1), lambda bt, gi: (bt, 0)),
         ],
-        out_specs=pl.BlockSpec((1, Bt, WP), lambda bt, gi: (gi, bt, 0)),
+        out_specs=pl.BlockSpec((R, Bt, WP), lambda bt, gi: (gi, bt, 0)),
         out_shape=jax.ShapeDtypeStruct((N, B, WP), jnp.int8),
         scratch_shapes=[pltpu.VMEM((Bt, WP), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
@@ -162,9 +182,13 @@ def dp_ptr_pallas(tbig, q, ms, bands, *, W: int, N: int, Bt: int = 256,
 
 
 def _tb_rows_kernel(ptr_ref, m_ref, n_ref, cols_ref, ins_ref, k_ref,
-                    *, W: int, WP: int, MP: int, MP2: int, N: int):
+                    *, W: int, WP: int, MP: int, MP2: int, N: int,
+                    R: int = 1):
     """Pallas traceback, reverse-ROW-sweep formulation: one grid step
-    processes query row i = N - gi for a whole batch tile at once.
+    processes R consecutive query rows (descending from
+    i = N - gi*R) for a whole batch tile at once — the same
+    per-grid-step overhead amortization as the DP kernel
+    (_rows_per_step).
 
     The naive walk is N+M sequential steps PER PAIR (a first attempt
     that walked one pair per grid step serialized B×(N+M) tiny steps
@@ -188,17 +212,18 @@ def _tb_rows_kernel(ptr_ref, m_ref, n_ref, cols_ref, ins_ref, k_ref,
     Semantics are bit-identical to _traceback_one by construction
     (property-tested in tests/test_poa_pallas.py).
 
-    ptr_ref: [1, Bt, WP] int8 (pointer rows for query row i at grid
-    index N-1-gi); m/n_ref: [Bt, 1] int32; cols_ref [Bt, MP] /
-    ins_ref [Bt, MP2] int32 outputs double as the across-rows
-    accumulators (their block index is grid-invariant, so they live in
-    VMEM for the whole sweep); k_ref: [Bt, 128] int32 scratch, col 0
-    carries each pair's band coordinate k = j - i + W.
+    ptr_ref: [R, Bt, WP] int8 (pointer rows; block bi = NB-1-gi covers
+    query rows bi*R+1 .. bi*R+R, processed descending); m/n_ref:
+    [Bt, 1] int32; cols_ref [Bt, MP] / ins_ref [Bt, MP2] int32 outputs
+    double as the across-rows accumulators (their block index is
+    grid-invariant, so they live in VMEM for the whole sweep); k_ref:
+    [Bt, 128] int32 scratch, col 0 carries each pair's band coordinate
+    k = j - i + W.
     """
     from jax.experimental import pallas as pl
 
     gi = pl.program_id(1)
-    i = N - gi
+    bi = (N // R) - 1 - gi               # ptr block index
     karr = jax.lax.broadcasted_iota(jnp.int32, (1, WP), 1)
     mio = jax.lax.broadcasted_iota(jnp.int32, (1, MP), 1)
     m2io = jax.lax.broadcasted_iota(jnp.int32, (1, MP2), 1)
@@ -211,57 +236,61 @@ def _tb_rows_kernel(ptr_ref, m_ref, n_ref, cols_ref, ins_ref, k_ref,
         ins_ref[:, :] = jnp.zeros((m.shape[0], MP2), jnp.int32)
         k_ref[:, :] = jnp.zeros((m.shape[0], 128), jnp.int32)
 
-    active = n >= i                      # pair's walk has reached row i
-    k_cur = k_ref[:, 0:1]
-    # Activation: the walk starts at (i=n, j=m) → k = m - n + W.
-    k_cur = jnp.where(n == i, m - n + W, k_cur)
-
-    row = ptr_ref[0, :, :].astype(jnp.int32)       # [Bt, WP]
-    j_of_k = karr - W + i                          # [1, WP]
-    eff = jnp.where(j_of_k == 0, jnp.int32(1), row)
-    # Left-run collapse: k* = max{k' <= k : eff[k'] != 2} via an
-    # inclusive cummax shift-max ladder (max is associative).
-    g = jnp.where(eff != 2, karr, jnp.int32(-1))
-    d = 1
-    while d < WP:
-        shifted = jnp.concatenate(
-            [jnp.full((g.shape[0], d), -1, g.dtype), g[:, :-d]], axis=1)
-        g = jnp.maximum(g, shifted)
-        d *= 2
-    kstar = jnp.sum(jnp.where(karr == k_cur, g, 0), axis=1, keepdims=True)
-    kstar = jnp.maximum(kstar, 0)        # inactive/garbage guard
-    pstar = jnp.sum(jnp.where(karr == kstar, eff, 0), axis=1,
-                    keepdims=True)
-    jstar = kstar - W + i
-    dg = active & (pstar == 0)
-    up = active & (pstar == 1)
-    jclip = jnp.clip(jstar, 0, MP2 - 1)  # walk keeps j <= m <= M
-    # Row i's emissions land within the band: j* in [i-band, i+band]
-    # (+ the j==0 boundary, reachable only when i <= band).  Updating a
-    # 128-aligned window of width WIN >= 2W+129 around i instead of the
-    # full [Bt, MP]/[Bt, MP2] rows roughly halves the per-row work at
-    # typical M (the accumulators were the tb kernel's dominant cost).
     WIN = 256
     while WIN < 2 * W + 129:
         WIN *= 2
-    if WIN < MP:
-        base = (jnp.maximum(i - W - 1, 0) // 128) * 128
-        i0c = pl.multiple_of(jnp.clip(base, 0, MP - WIN), 128)
-        wio = jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
-        cs = cols_ref[:, pl.ds(i0c, WIN)]
-        cols_ref[:, pl.ds(i0c, WIN)] = jnp.where(
-            (wio + i0c == jstar - 1) & dg, i - 1, cs)
-        i0i = pl.multiple_of(jnp.clip(base, 0, MP2 - WIN), 128)
-        isl = ins_ref[:, pl.ds(i0i, WIN)]
-        ins_ref[:, pl.ds(i0i, WIN)] = isl + jnp.where(
-            (wio + i0i == jclip) & up, 1, 0)
-    else:
-        cols_ref[:, :] = jnp.where((mio == jstar - 1) & dg, i - 1,
-                                   cols_ref[:, :])
-        ins_ref[:, :] = ins_ref[:, :] + jnp.where((m2io == jclip) & up,
-                                                  1, 0)
-    k_next = jnp.where(up, kstar + 1, kstar)
-    k_ref[:, 0:1] = jnp.where(active, k_next, k_cur)
+
+    for r in range(R - 1, -1, -1):       # rows descend within the block
+        i = bi * R + r + 1
+        active = n >= i                  # pair's walk has reached row i
+        k_cur = k_ref[:, 0:1]
+        # Activation: the walk starts at (i=n, j=m) → k = m - n + W.
+        k_cur = jnp.where(n == i, m - n + W, k_cur)
+
+        row = ptr_ref[r, :, :].astype(jnp.int32)   # [Bt, WP]
+        j_of_k = karr - W + i                      # [1, WP]
+        eff = jnp.where(j_of_k == 0, jnp.int32(1), row)
+        # Left-run collapse: k* = max{k' <= k : eff[k'] != 2} via an
+        # inclusive cummax shift-max ladder (max is associative).
+        g = jnp.where(eff != 2, karr, jnp.int32(-1))
+        d = 1
+        while d < WP:
+            shifted = jnp.concatenate(
+                [jnp.full((g.shape[0], d), -1, g.dtype), g[:, :-d]],
+                axis=1)
+            g = jnp.maximum(g, shifted)
+            d *= 2
+        kstar = jnp.sum(jnp.where(karr == k_cur, g, 0), axis=1,
+                        keepdims=True)
+        kstar = jnp.maximum(kstar, 0)    # inactive/garbage guard
+        pstar = jnp.sum(jnp.where(karr == kstar, eff, 0), axis=1,
+                        keepdims=True)
+        jstar = kstar - W + i
+        dg = active & (pstar == 0)
+        up = active & (pstar == 1)
+        jclip = jnp.clip(jstar, 0, MP2 - 1)  # walk keeps j <= m <= M
+        # Row i's emissions land within the band: j* in [i-band,
+        # i+band] (+ the j==0 boundary, reachable only when i <= band).
+        # Updating a 128-aligned window of width WIN >= 2W+129 around i
+        # instead of the full [Bt, MP]/[Bt, MP2] rows cuts per-row work.
+        if WIN < MP:
+            base = (jnp.maximum(i - W - 1, 0) // 128) * 128
+            i0c = pl.multiple_of(jnp.clip(base, 0, MP - WIN), 128)
+            wio = jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
+            cs = cols_ref[:, pl.ds(i0c, WIN)]
+            cols_ref[:, pl.ds(i0c, WIN)] = jnp.where(
+                (wio + i0c == jstar - 1) & dg, i - 1, cs)
+            i0i = pl.multiple_of(jnp.clip(base, 0, MP2 - WIN), 128)
+            isl = ins_ref[:, pl.ds(i0i, WIN)]
+            ins_ref[:, pl.ds(i0i, WIN)] = isl + jnp.where(
+                (wio + i0i == jclip) & up, 1, 0)
+        else:
+            cols_ref[:, :] = jnp.where((mio == jstar - 1) & dg, i - 1,
+                                       cols_ref[:, :])
+            ins_ref[:, :] = ins_ref[:, :] + jnp.where(
+                (m2io == jclip) & up, 1, 0)
+        k_next = jnp.where(up, kstar + 1, kstar)
+        k_ref[:, 0:1] = jnp.where(active, k_next, k_cur)
 
 
 @functools.partial(jax.jit, static_argnames=("W", "M", "Bt", "interpret"))
@@ -283,13 +312,15 @@ def tb_batch_pallas(ptr, qpad, ms, ns, *, W: int, M: int, Bt: int = 256,
     assert B % Bt == 0 or nbt == 1, (B, Bt)
     if nbt == 1:
         Bt = B
+    R = _rows_per_step(N)
+    NB = N // R
     kernel = functools.partial(
-        _tb_rows_kernel, W=W, WP=WP, MP=MP, MP2=MP2, N=N)
+        _tb_rows_kernel, W=W, WP=WP, MP=MP, MP2=MP2, N=N, R=R)
     cols_i, ins_p = pl.pallas_call(
         kernel,
-        grid=(nbt, N),
+        grid=(nbt, NB),
         in_specs=[
-            pl.BlockSpec((1, Bt, WP), lambda bt, gi: (N - 1 - gi, bt, 0)),
+            pl.BlockSpec((R, Bt, WP), lambda bt, gi: (NB - 1 - gi, bt, 0)),
             pl.BlockSpec((Bt, 1), lambda bt, gi: (bt, 0)),
             pl.BlockSpec((Bt, 1), lambda bt, gi: (bt, 0)),
         ],
